@@ -136,6 +136,40 @@ def k_ring(cell: int, k: int = 1) -> np.ndarray:
     return encode_ij(gx.ravel(), gy.ravel(), r)
 
 
+_GEOHASH32 = np.frombuffer(b"0123456789bcdefghjkmnpqrstuvwxyz", dtype=np.uint8)
+
+
+def geohash_encode(lat, lon, precision: int = 12) -> np.ndarray:
+    """Vectorized standard geohash (base-32, lon bit first). Replaces
+    PostGIS ST_Geohash / python-geohash used for spatial clustering
+    (optimize/015:6, bin/import_openaddress_data.py:503). Note the reference
+    importer passes (lon, lat) into geohash.encode(lat, lon) — a documented
+    argument-order bug (SURVEY.md §7.4.8); we encode correctly."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    li = np.clip(((lon + 180.0) / 360.0) * (1 << nlon), 0, (1 << nlon) - 1).astype(np.uint64)
+    la = np.clip(((lat + 90.0) / 180.0) * (1 << nlat), 0, (1 << nlat) - 1).astype(np.uint64)
+    # interleave from the MSB: even bit positions (0-indexed from the top) are lon
+    codes = np.zeros((len(lat), precision), dtype=np.uint8)
+    bits = np.zeros(len(lat), dtype=np.uint64)
+    for b in range(nbits):
+        if b % 2 == 0:
+            src, width = li, nlon
+            idx = b // 2
+        else:
+            src, width = la, nlat
+            idx = b // 2
+        bit = (src >> np.uint64(width - 1 - idx)) & np.uint64(1)
+        bits = (bits << np.uint64(1)) | bit
+        if b % 5 == 4:
+            codes[:, b // 5] = _GEOHASH32[bits.astype(np.int64)]
+            bits = np.zeros(len(lat), dtype=np.uint64)
+    return np.array([row.tobytes().decode("ascii") for row in codes])
+
+
 def covering_cells_bbox(x0, y0, x1, y1, res: int):
     """Per-row list of cell ids covering [x0,x1]x[y0,y1].
 

@@ -1,0 +1,247 @@
+"""ETL: the reference's 18-step "optimize" pipeline as DataFrame stages.
+
+Builds the queryable star schema (osm_struct_house / _streets / _cities +
+wordlist) from the 5 imposm-shaped OSM tables, replicating
+osmgeocoder/data/sql/optimize/001..018 semantics with three documented
+determinism fixes (SURVEY.md §7.4.3):
+  * random uuids -> content-derived sha256 keys,
+  * UPDATE ... FROM multi-match nondeterminism -> min(osm_id) winner,
+  * geometry backfill arbitrary-row wins (012/013) -> min(osm_id) winner.
+
+Every stage is a plain DataFrame expression: Catalyst gets the whole plan
+(column pruning + pushdown free); the only Python is the prepared-polygon PIP
+kernel and the centroid kernel, both Arrow-vectorized.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType, StructField, StructType
+
+from . import cells as cell_mod
+from . import proj, spatial
+
+HOUSE_CELL_RES = 15  # ~1223 m cells; reverse-geocode radius default 100 m
+
+
+def _id(*cols):
+    """Content-derived surrogate key (replaces gen_random_uuid,
+    optimize/001:3 etc. — determinism deviation §7.4.3a)."""
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+def load_osm_tables(spark: SparkSession, fixture_dir: str) -> dict:
+    t = {}
+    for name in ["osm_admin", "osm_postal_code", "osm_roads", "osm_house_number", "osm_buildings"]:
+        t[name] = spark.read.parquet(f"{fixture_dir}/{name}.parquet")
+    return t
+
+
+def _centroid_cols(df: DataFrame, rings_col: str = "rings"):
+    """ST_Centroid over polygon rings (optimize/002:12) via the shoelace
+    kernel, Arrow-batched."""
+    from .geometry import as_rings, polygon_centroid
+
+    @F.pandas_udf(StructType([StructField("cx", DoubleType()), StructField("cy", DoubleType())]))
+    def _cent(rings: pd.Series) -> pd.DataFrame:
+        out = [polygon_centroid(as_rings(rr)) for rr in rings]
+        return pd.DataFrame(out, columns=["cx", "cy"])
+
+    return df.withColumn("__c", _cent(F.col(rings_col))).withColumn(
+        "cx", F.col("__c.cx")).withColumn("cy", F.col("__c.cy")).drop("__c")
+
+
+def cell_col(x_col, y_col, res: int = HOUSE_CELL_RES):
+    """Cell id column (the engine's spatial index — replaces GiST/geohash
+    clustering, SURVEY.md X1/X2/X4)."""
+    import numpy as np
+
+    @F.pandas_udf(LongType())
+    def _cell(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(cell_mod.encode(x.to_numpy(np.float64), y.to_numpy(np.float64), res))
+
+    return _cell(x_col, y_col)
+
+
+def geohash_col(x_col, y_col, precision: int = 12):
+    import numpy as np
+
+    @F.pandas_udf(StringType())
+    def _gh(x: pd.Series, y: pd.Series) -> pd.Series:
+        lon, lat = proj.merc_to_lonlat(x.to_numpy(np.float64), y.to_numpy(np.float64))
+        return pd.Series(cell_mod.geohash_encode(lat, lon, precision))
+
+    return _gh(x_col, y_col)
+
+
+def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
+    """optimize/001..014 + geocoder/001 (wordlist)."""
+    admin = osm["osm_admin"]
+    postal = osm["osm_postal_code"]
+
+    # --- 001: copy house-number points into struct_house -------------------
+    houses = osm["osm_house_number"].select(
+        _id(F.lit("hn"), "osm_id").alias("id"),
+        "osm_id", "city", "postcode", "street", "house_number", "x", "y",
+    )
+
+    # --- 002: buildings with house numbers, centroid within postal polygon -
+    bld = osm["osm_buildings"].filter(F.col("house_number") != "")
+    bld = _centroid_cols(bld)
+    bld_in_postal = spatial.pip_join(
+        spark, bld, postal, x_col="cx", y_col="cy",
+        id_key="osm_id", attr_key="postcode", rings_key="rings",
+        how="inner", out_col="p_postcode",
+    ).select(
+        _id(F.lit("bld"), "osm_id", "p_postcode").alias("id"),
+        "osm_id",
+        F.lit("").alias("city"),
+        F.col("p_postcode").alias("postcode"),
+        "street", "house_number",
+        F.col("cx").alias("x"), F.col("cy").alias("y"),
+    )
+    houses = houses.unionByName(bld_in_postal)
+
+    # --- 004: fill postcode where city='' and postcode='' (postal PIP) -----
+    # reference UPDATE takes an arbitrary polygon on overlap; we take the
+    # min-osm_id winner (pip attrs are ordered by polygon id — §7.4.3)
+    postal_rows = postal.select("osm_id", "postcode", "rings").collect()
+    postal_prep = spatial.prepare_from_rows(postal_rows, attr_key="postcode")
+    houses = houses.withColumn(
+        "__pc", F.get(spatial.pip_match_col(spark, postal_prep, "x", "y"), 0)
+    ).withColumn(
+        "postcode",
+        F.when((F.col("city") == "") & (F.col("postcode") == "") & F.col("__pc").isNotNull(),
+               F.col("__pc")).otherwise(F.col("postcode")),
+    ).drop("__pc")
+
+    # --- 005: fill city from admin_level 8 then 6 (PIP) --------------------
+    for lvl in (8, 6):
+        rows = admin.filter(F.col("admin_level") == lvl).select("osm_id", "name", "rings").collect()
+        prep = spatial.prepare_from_rows(rows)
+        houses = houses.withColumn(
+            "__nm", F.get(spatial.pip_match_col(spark, prep, "x", "y"), 0)
+        ).withColumn(
+            "city",
+            F.when((F.col("city") == "") & (F.col("postcode") != "") & F.col("__nm").isNotNull(),
+                   F.col("__nm")).otherwise(F.col("city")),
+        ).drop("__nm")
+
+    # --- 006: extract cities (group + ST_Extent bbox agg) ------------------
+    cities = (
+        houses.filter((F.col("city") != "") | (F.col("postcode") != ""))
+        .groupBy(F.col("city").alias("name"), "postcode")
+        .agg(F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+             F.max("x").alias("xmax"), F.max("y").alias("ymax"))
+        .withColumn("id", _id(F.lit("city"), "name", "postcode"))
+    )
+
+    # --- 008: backfill city_id on houses (equi-join on name+postcode) ------
+    houses = houses.join(
+        F.broadcast(cities.select(F.col("id").alias("city_id"),
+                                  F.col("name").alias("__cn"),
+                                  F.col("postcode").alias("__cp"))),
+        (F.col("city") == F.col("__cn")) & (F.col("postcode") == F.col("__cp")),
+        "left",
+    ).drop("__cn", "__cp")
+
+    # --- 009: extract streets (group by city_id+street, bbox agg) ----------
+    # NULL city_id groups exist (orphan houses) exactly as in Postgres
+    streets = (
+        houses.groupBy("city_id", F.col("street").alias("name"))
+        .agg(F.min("x").alias("xmin"), F.min("y").alias("ymin"),
+             F.max("x").alias("xmax"), F.max("y").alias("ymax"))
+        .withColumn("id", _id(F.lit("street"), F.coalesce("city_id", F.lit("∅")), "name"))
+    )
+
+    # --- 011: backfill street_id (strict equality: NULL city_id never joins,
+    # exactly like the Postgres UPDATE — orphan houses keep NULL street_id) -
+    houses = houses.join(
+        F.broadcast(streets.select(F.col("id").alias("street_id"),
+                                   F.col("city_id").alias("__sc"),
+                                   F.col("name").alias("__sn"))),
+        (F.col("city_id") == F.col("__sc")) & (F.col("street") == F.col("__sn")),
+        "left",
+    ).drop("__sc", "__sn")
+
+    # --- 012: street geometry from roads (name equi-join + bbox overlap;
+    # min-osm_id winner instead of last-update-wins) -------------------------
+    roads = osm["osm_roads"].select(
+        F.col("osm_id").alias("r_id"), F.col("street").alias("r_street"), "line",
+        F.least("x0", "x1").alias("rxmin"), F.greatest("x0", "x1").alias("rxmax"),
+        F.least("y0", "y1").alias("rymin"), F.greatest("y0", "y1").alias("rymax"),
+    )
+    street_geom = (
+        streets.join(F.broadcast(roads), (F.col("name") == F.col("r_street"))
+                     & (F.col("rxmin") <= F.col("xmax")) & (F.col("rxmax") >= F.col("xmin"))
+                     & (F.col("rymin") <= F.col("ymax")) & (F.col("rymax") >= F.col("ymin")), "inner")
+        .groupBy(F.col("id").alias("sid"))
+        .agg(F.min(F.struct("r_id", "line")).alias("__w"))
+        .select("sid", F.col("__w.line").alias("geometry"))
+    )
+    streets = streets.join(street_geom, streets["id"] == street_geom["sid"], "left").drop("sid")
+
+    # --- 013: city geometry from postal polys then admin_level 8 -----------
+    postal_b = postal.select(F.col("osm_id").alias("p_id"), F.col("postcode").alias("p_pc"),
+                             F.col("rings").alias("p_rings"),
+                             "xmin", "ymin", "xmax", "ymax") \
+        .withColumnRenamed("xmin", "pxmin").withColumnRenamed("ymin", "pymin") \
+        .withColumnRenamed("xmax", "pxmax").withColumnRenamed("ymax", "pymax")
+    g1 = (
+        cities.join(F.broadcast(postal_b), (F.col("p_pc") == F.col("postcode"))
+                    & (F.col("pxmin") <= F.col("xmax")) & (F.col("pxmax") >= F.col("xmin"))
+                    & (F.col("pymin") <= F.col("ymax")) & (F.col("pymax") >= F.col("ymin")), "inner")
+        .groupBy(F.col("id").alias("cid"))
+        .agg(F.min(F.struct(F.col("p_id").alias("w_id"), F.col("p_rings").alias("w_rings"))).alias("__w"))
+        .select("cid", F.col("__w.w_rings").alias("rings1"))
+    )
+    admin8 = admin.filter(F.col("admin_level") == 8).select(
+        F.col("osm_id").alias("a_id"), F.col("name").alias("a_name"), F.col("rings").alias("a_rings"),
+        F.col("xmin").alias("axmin"), F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"), F.col("ymax").alias("aymax"))
+    g2 = (
+        cities.join(F.broadcast(admin8), (F.col("a_name") == F.col("name"))
+                    & (F.col("axmin") <= F.col("xmax")) & (F.col("axmax") >= F.col("xmin"))
+                    & (F.col("aymin") <= F.col("ymax")) & (F.col("aymax") >= F.col("ymin")), "inner")
+        .groupBy(F.col("id").alias("cid2"))
+        .agg(F.min(F.struct(F.col("a_id").alias("w_id"), F.col("a_rings").alias("w_rings"))).alias("__w"))
+        .select("cid2", F.col("__w.w_rings").alias("rings2"))
+    )
+    cities = (
+        cities.join(g1, cities["id"] == g1["cid"], "left").drop("cid")
+        .join(g2, cities["id"] == g2["cid2"], "left").drop("cid2")
+        .withColumn("rings", F.coalesce("rings1", "rings2")).drop("rings1", "rings2")
+    )
+
+    # --- 014/015: cleanup + spatial clustering columns ----------------------
+    struct_house = houses.select(
+        "id", "osm_id", "house_number", "x", "y", "street_id",
+    ).withColumn("cell_id", cell_col(F.col("x"), F.col("y"))) \
+     .withColumn("geohash", geohash_col(F.col("x"), F.col("y")))
+    # CLUSTER ... USING geohash (optimize/015) + the importer's 360-way
+    # range partitioning on ST_X (X1) -> range-partition on the Morton cell id
+    # (a space-filling curve: contiguous id ranges are spatially local) and
+    # sort within partitions for parquet min/max row-group skipping (X2)
+    struct_house = struct_house.repartitionByRange(8, "cell_id") \
+        .sortWithinPartitions("cell_id", "geohash")
+
+    return dict(struct_house=struct_house, struct_streets=streets, struct_cities=cities)
+
+
+def build_wordlist(struct: dict) -> DataFrame:
+    """geocoder/001-wordlist_for_text_prediction.sql:43-75 as one plan:
+    per-name street/house counts, \\W tokenization, two-phase sum (Spark's
+    partial/final agg replaces the hand-rolled temp-table reduce, A4)."""
+    cities, streets, houses = struct["struct_cities"], struct["struct_streets"], struct["struct_house"]
+    city_words = (
+        cities.join(streets.select(F.col("city_id").alias("cid")), F.col("id") == F.col("cid"), "inner")
+        .groupBy(F.col("name")).agg(F.count("*").alias("ct"))
+        .select(F.explode(F.split(F.col("name"), "\\W")).alias("word"), "ct")
+    )
+    street_words = (
+        streets.join(houses.select(F.col("street_id").alias("sid")), F.col("id") == F.col("sid"), "inner")
+        .groupBy(F.col("name")).agg(F.count("*").alias("ct"))
+        .select(F.explode(F.split(F.col("name"), "\\W")).alias("word"), "ct")
+    )
+    return city_words.unionByName(street_words).groupBy("word").agg(F.sum("ct").alias("ct"))

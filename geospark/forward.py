@@ -1,0 +1,172 @@
+"""Forward geocoding: structured address batches -> candidate coordinates.
+
+Semantics: sql/geocoder/003-forward_geocoding.sql (all six variants) + the
+dispatch precedence of geocode_osm (postcode > city > road, 003:474-492) and
+the country branch (003:143-155), re-expressed per the north_star as a
+*tokenized trigram-similarity join in Spark SQL*:
+
+  1. the ``s.name % search_term`` GIN-index scan becomes: explode query road
+     terms and DISTINCT street names into pg_trgm trigrams, equi-join on the
+     trigram, count shared grams per (query, name), compute
+     sim = shared / (|A| + |B| - shared) and keep sim >= 0.3 (J8/X3).
+     The exploded token table IS the inverted index, shuffled once on the
+     trigram key; skew on ubiquitous trigrams is handled by AQE skew-join.
+  2. residual ``%`` predicates on the already-pruned candidates
+     (house_number/postcode/city, at most a few rows per query x street)
+     are evaluated pairwise by an Arrow-batched kernel.
+  3. the country restriction prefetches ONE polygon per distinct country
+     term driver-side (R1's loop-invariant hoisting -> broadcast scalar)
+     and applies vectorized PIP.
+  4. ranking: ORDER BY distance ASC NULLS LAST (Postgres ASC default —
+     Spark needs asc_nulls_last, §7.4.2), then trigram distance, then stable
+     tiebreaks; row_number() <= limit per query (O1).
+
+Queries table: (query_id, road, house_number, postcode, city, country,
+center_lat, center_lon, radius, limit). NULL road is not supported by the
+reference either (its `%` on NULL yields no rows) — we filter such queries out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import BooleanType
+
+from . import proj, spatial, text
+from .reverse import ZERO_UUID, _admin_cols
+from .tables import GeocoderTables, pair_similarity_col, tokenize_names
+
+RESULT_COLS = ["query_id", "house", "road", "house_number", "postcode", "city",
+               "county", "state", "x", "y", "distance", "trgm_dist", "license_id"]
+
+
+def _street_candidates(tables: GeocoderTables, road_terms: DataFrame) -> DataFrame:
+    """Trigram-token join: (q_road, matching street name, trgm_dist) with
+    sim >= 0.3. ``road_terms``: distinct (q_road) strings."""
+    q_tokens = tokenize_names(road_terms, "q_road").withColumnRenamed("n_trgm", "q_n")
+    s_tokens = tables.street_name_tokens  # (name, n_trgm, trigram)
+    shared = (
+        q_tokens.join(s_tokens, "trigram")
+        .groupBy("q_road", "q_n", "name", "n_trgm")
+        .agg(F.count("*").alias("shared"))
+    )
+    sim = F.col("shared") / (F.col("q_n") + F.col("n_trgm") - F.col("shared"))
+    return (
+        shared.withColumn("sim", sim)
+        .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
+        .select("q_road", F.col("name").alias("road"), (1.0 - F.col("sim")).alias("trgm_dist"))
+    )
+
+
+def _country_filter_col(spark, tables: GeocoderTables, q: DataFrame):
+    """Per-row country PIP predicate with driver-prefetched polygons (R1).
+    Returns a closure column fn(x, y, country) -> bool; rows with NULL
+    country pass, rows whose country resolved to no polygon fail (ST_Within
+    against NULL is false)."""
+    countries = [r[0] for r in q.select("country").where("country is not null").distinct().collect()]
+    prepared = {c: tables.country_polygon(c) for c in countries}
+    bc = spark.sparkContext.broadcast(prepared)
+
+    @F.pandas_udf(BooleanType())
+    def _inside(x: pd.Series, y: pd.Series, country: pd.Series) -> pd.Series:
+        out = np.ones(len(x), dtype=bool)
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        cn = country.to_numpy(object)
+        for c in pd.unique(country.dropna()):
+            m = cn == c
+            prep = bc.value.get(c)
+            if prep is None:
+                out[m] = False
+            else:
+                matches = prep.match(xs[m], ys[m])
+                out[m] = np.array([len(v) > 0 for v in matches], dtype=bool)
+        return pd.Series(out)
+
+    return _inside
+
+
+def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFrame:
+    q = queries.filter(F.col("road").isNotNull()).select(
+        "query_id",
+        F.col("road").alias("q_road"),
+        F.col("house_number").alias("q_hn"),
+        F.col("postcode").alias("q_postcode"),
+        F.col("city").alias("q_city"),
+        "country",
+        F.when(F.col("center_lat").isNotNull(), proj.merc_x_col(F.col("center_lon"))).alias("cx"),
+        F.when(F.col("center_lat").isNotNull(), proj.merc_y_col(F.col("center_lat"))).alias("cy"),
+        F.col("radius").cast("double").alias("radius"),
+        F.col("limit").cast("int").alias("limit"),
+    )
+
+    # J8: street-name candidates per distinct road term via the tokenized
+    # trigram join; then fan back out to queries and street rows
+    cand_names = _street_candidates(tables, q.select("q_road").distinct())
+    street_dim = tables.street_city.select(
+        "street_id", F.col("road").alias("s_road"),
+        F.col("city_name"), F.col("postcode").alias("c_postcode"))
+    cand = (
+        q.join(cand_names, "q_road", "inner")
+        .join(street_dim, F.col("road") == F.col("s_road"), "inner")
+        .drop("road")
+    )
+
+    # dispatch precedence (geocode_osm 003:474-492): postcode > city > road —
+    # expressed as per-row residual predicates (batch-level branch pruning is
+    # Catalyst constant-folding when a whole batch shares the shape)
+    cand = cand.withColumn(
+        "__branch_ok",
+        F.when(F.col("q_postcode").isNotNull(),
+               pair_similarity_col(F.col("c_postcode"), F.col("q_postcode")) >= text.TRGM_SIM_THRESHOLD)
+         .when(F.col("q_city").isNotNull(),
+               pair_similarity_col(F.col("city_name"), F.col("q_city")) >= text.TRGM_SIM_THRESHOLD)
+         .otherwise(F.lit(True)),
+    ).filter("__branch_ok").drop("__branch_ok")
+
+    # J2: join houses on street_id — the big side; candidates broadcast
+    houses = tables.houses.select("id", "osm_id", "house_number", "x", "y", "street_id")
+    cand = houses.join(F.broadcast(cand), "street_id", "inner")
+
+    # residual % on house_number (003:58)
+    cand = cand.filter(
+        F.col("q_hn").isNull()
+        | (pair_similarity_col(F.col("house_number"), F.col("q_hn")) >= text.TRGM_SIM_THRESHOLD))
+
+    # P2: radius filter around center; distance NULL when center is NULL
+    cand = cand.withColumn(
+        "distance",
+        F.when(F.col("cx").isNotNull(), F.hypot(F.col("x") - F.col("cx"), F.col("y") - F.col("cy"))))
+    cand = cand.filter(F.col("cx").isNull() | (F.col("distance") <= F.col("radius")))
+
+    # P4: country containment (with-country variants 003:112,260,405)
+    inside_udf = _country_filter_col(spark, tables, q)
+    cand = cand.filter(F.col("country").isNull()
+                       | inside_udf(F.col("x"), F.col("y"), F.col("country")))
+
+    # J3: admin_level 4/6 left PIP joins (before ranking — duplicates count
+    # toward LIMIT exactly as in the reference)
+    cand = _admin_cols(spark, tables, cand)
+
+    # O1 ranking: distance ASC NULLS LAST (§7.4.2), trigram distance, stable
+    # tiebreaks for reproducibility (§7.4.3c)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(),
+        F.col("id").asc(), F.col("a4_name").asc_nulls_last(), F.col("a6_name").asc_nulls_last())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("limit"))
+        .select(
+            "query_id",
+            F.lit(None).cast("string").alias("house"),
+            F.col("s_road").alias("road"),
+            "house_number",
+            F.col("c_postcode").alias("postcode"),
+            F.nullif(F.col("city_name"), F.lit("")).alias("city"),
+            F.nullif(F.col("a6_name"), F.lit("")).alias("county"),
+            F.nullif(F.col("a4_name"), F.lit("")).alias("state"),
+            "x", "y", "distance", "trgm_dist",
+            F.lit(ZERO_UUID).alias("license_id"),
+        )
+    )

@@ -25,6 +25,18 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def as_rings(value) -> list:
+    """Normalize a nested rings value (Arrow object-ndarrays, lists of lists,
+    Row structures) into a list of (m, 2) float64 arrays."""
+    out = []
+    for ring in value:
+        arr = np.asarray(ring)
+        if arr.dtype == object:
+            arr = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+        out.append(arr.astype(np.float64, copy=False))
+    return out
+
+
 def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Even-odd crossing test of many points against one ring. O(P*E) fully
     vectorized (E = ring edges); rings in this engine are small (admin

@@ -1,0 +1,151 @@
+"""OpenAddresses importer: CSV rows -> oa_license / oa_city / oa_street /
+oa_house, replicating bin/import_openaddress_data.py semantics (S3/S4/A6):
+
+  * every CSV field Python-``str.title()``-cased (line 369 — NOT initcap,
+    see text.py_title), region upper-cased in the city tuple (line 393),
+  * city identity = md5(city+district+region+postcode) of the title-cased
+    row (line 377-383), street identity = md5(street+unit) (line 372-375),
+  * houses dedup by house number within a street, LAST input row wins
+    (line 410: dict overwrite) — reproduced with a max(row_idx) window,
+  * coordinates projected lon/lat -> EPSG:3857 (line 485-ish),
+  * geohash computed correctly (the reference swaps lat/lon — §7.4.8),
+  * license blocks parsed from LICENSE.txt format (lines 270-314),
+  * uuids replaced by content-derived sha256 keys (determinism, §7.4.3a).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import StringType
+
+from . import proj, text
+from .etl import cell_col, geohash_col
+
+
+def title_col(col):
+    @F.pandas_udf(StringType())
+    def _t(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: v.title() if v is not None else None)
+
+    return _t(col)
+
+
+def parse_license_text(license_data: bytes) -> list[dict]:
+    """import_licenses block format (import_openaddress_data.py:280-314):
+    skip 2 header lines; records of [source line, Website:, License:,
+    Required attribution:] terminated by blank lines. 'Yes' attribution is
+    treated as absent, as in the reference (line 293-296)."""
+    out = []
+    record = dict(source=None, website=None, license=None, attribution=None)
+    for line in license_data.split(b"\n")[2:]:
+        if line.startswith(b"Website:"):
+            record["website"] = line[8:].decode("utf-8").strip()
+        elif line.startswith(b"License:"):
+            record["license"] = line[8:].decode("utf-8").strip()
+        elif line.startswith(b"Required attribution:"):
+            a = line[21:].decode("utf-8").strip()
+            if a != "Yes":
+                record["attribution"] = a
+        elif len(line.strip()) == 0:
+            if record["source"] is not None:
+                out.append(record)
+            record = dict(source=None, website=None, license=None, attribution=None)
+        else:
+            record["source"] = line.decode("utf-8").strip()
+    return out
+
+
+def build_oa_tables(spark: SparkSession, raw: DataFrame, license_text: bytes) -> dict:
+    """``raw``: (lon, lat, number, street, unit, city, district, region,
+    postcode, source_file) rows in CSV order. Returns the four OA tables."""
+    licenses = parse_license_text(license_text)
+    lic_rows = [dict(id=None, website=r["website"], license=r["license"],
+                     attribution=r["attribution"], source=r["source"]) for r in licenses]
+    oa_license = spark.createDataFrame(pd.DataFrame(lic_rows)).withColumn(
+        "id", F.sha2(F.concat_ws("", F.lit("license"), "source"), 256))
+
+    rows = raw.withColumn("row_idx", F.monotonically_increasing_id() if "row_idx" not in raw.columns
+                          else F.col("row_idx"))
+    # title-case every text field (line 369); keep originals for nothing —
+    # the reference titles before hashing and storing
+    for c in ["number", "street", "unit", "city", "district", "region", "postcode"]:
+        rows = rows.withColumn(c, title_col(F.col(c)))
+
+    rows = rows.withColumn("street_hash", F.md5(F.concat(F.coalesce("street", F.lit("")),
+                                                         F.coalesce("unit", F.lit("")))))
+    rows = rows.withColumn("city_hash", F.md5(F.concat(
+        F.coalesce("city", F.lit("")), F.coalesce("district", F.lit("")),
+        F.coalesce("region", F.lit("")), F.coalesce("postcode", F.lit("")))))
+
+    # license id per source file: 'us/il/test.csv' block key is the source
+    # path without .csv (import…:298 appends '.csv' to the block's file line)
+    lic_for_file = oa_license.select(
+        F.col("id").alias("license_id"), F.concat(F.col("source"), F.lit(".csv")).alias("source_file"))
+    rows = rows.join(F.broadcast(lic_for_file), "source_file", "left")
+
+    def _or_space(c):
+        # the COPY writer emits a single space for empty/None fields
+        # (import_openaddress_data.py:445-449) — reproduced bug-for-bug
+        return F.when(F.coalesce(c, F.lit("")) == "", F.lit(" ")).otherwise(c)
+
+    # note: the city tuple upper-cases POSTCODE only (line 393: row[8].upper();
+    # row[8] is the postcode column) — region stays title-cased
+    oa_city = (
+        rows.groupBy("source_file", "city_hash")
+        .agg(F.first("city").alias("city"), F.first("district").alias("district"),
+             F.first("region").alias("region"),
+             F.upper(F.first("postcode")).alias("postcode"),
+             F.first("license_id").alias("license_id"))
+        .select("source_file", "city_hash",
+                _or_space(F.col("city")).alias("city"),
+                _or_space(F.col("district")).alias("district"),
+                _or_space(F.col("region")).alias("region"),
+                _or_space(F.col("postcode")).alias("postcode"),
+                "license_id")
+        .withColumn("id", F.sha2(F.concat_ws("|", F.lit("oa_city"), "source_file", "city_hash"), 256))
+    )
+    oa_street = (
+        rows.groupBy("source_file", "city_hash", "street_hash")
+        .agg(F.first("street").alias("street"), F.first("unit").alias("unit"))
+        .select("source_file", "city_hash", "street_hash",
+                _or_space(F.col("street")).alias("street"),
+                _or_space(F.col("unit")).alias("unit"))
+        .withColumn("city_id", F.sha2(F.concat_ws("|", F.lit("oa_city"), "source_file", "city_hash"), 256))
+        .withColumn("id", F.sha2(F.concat_ws("|", F.lit("oa_street"), "source_file",
+                                             "city_hash", "street_hash"), 256))
+    )
+    # houses: per (street, number) LAST row wins (dict overwrite at line 410)
+    w = Window.partitionBy("source_file", "city_hash", "street_hash", "number") \
+        .orderBy(F.col("row_idx").desc())
+    oa_house = (
+        rows.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+        .select(
+            F.sha2(F.concat_ws("|", F.lit("oa_house"), "source_file", "city_hash",
+                               "street_hash", "number"), 256).alias("id"),
+            proj.merc_x_col(F.col("lon").cast("double")).alias("x"),
+            proj.merc_y_col(F.col("lat").cast("double")).alias("y"),
+            # the COPY column list omits "name" (import…:552) → stays NULL
+            F.lit(None).cast("string").alias("name"),
+            _or_space(F.col("number")).alias("housenumber"),
+            F.sha2(F.concat_ws("|", F.lit("oa_street"), "source_file",
+                               "city_hash", "street_hash"), 256).alias("street_id"),
+            F.lit("openaddresses.io").alias("source"),
+        )
+        .withColumn("cell_id", cell_col(F.col("x"), F.col("y")))
+        .withColumn("geohash", geohash_col(F.col("x"), F.col("y")))
+    )
+    # X1: the reference range-partitions oa_house 360 ways on ST_X and
+    # clusters on geohash — here: range-partition by cell morton + sort
+    oa_house = oa_house.repartitionByRange(8, "cell_id").sortWithinPartitions("cell_id", "geohash")
+    return dict(oa_license=oa_license, oa_city=oa_city, oa_street=oa_street, oa_house=oa_house)
+
+
+def oa_address_data(oa: dict) -> DataFrame:
+    """The oa_address_data 3-way view (import_openaddress_data.py:121-134)."""
+    h, s, c = oa["oa_house"], oa["oa_street"], oa["oa_city"]
+    return (
+        h.join(s.select(F.col("id").alias("street_id"), "street", "city_id"), "street_id")
+        .join(c.select(F.col("id").alias("city_id"), "postcode", "city"), "city_id")
+        .select(h["id"], "name", "street", "housenumber", "postcode", "city", "x", "y", "source")
+    )

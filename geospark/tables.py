@@ -1,0 +1,113 @@
+"""GeocoderTables — the engine's prepared reference-data bundle.
+
+Holds the struct tables (ETL output), the admin polygons (as broadcastable
+PreparedPolygons per admin_level), the pre-joined street->city dimension
+(J1/J2's small side), the distinct-street-name trigram token table (the
+"GIN trigram index" re-materialized as data, SURVEY.md X3), and optional
+OpenAddresses tables. Everything query functions need, built once.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+from . import spatial, text
+
+
+def trigram_tokens_col(col):
+    """Column: array of pg_trgm trigrams of a string column (Arrow-batched)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _tg(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: sorted(text.trigrams(v)) if v is not None else [])
+
+    return _tg(col)
+
+
+def pair_similarity_col(a_col, b_col):
+    """Column: pairwise pg_trgm similarity of two string columns — used for
+    the residual ``%`` predicates on already-pruned candidate pairs
+    (house_number/postcode/city terms, 003-forward_geocoding.sql:58,261,347)."""
+
+    @F.pandas_udf("double")
+    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([text.similarity(x or "", y or "") for x, y in zip(a, b)])
+
+    return _sim(a_col, b_col)
+
+
+def tokenize_names(df: DataFrame, name_col: str = "name") -> DataFrame:
+    """Distinct names -> (name, n_trgm, trigram) exploded token table."""
+    toks = df.select(name_col).distinct().withColumn("__t", trigram_tokens_col(F.col(name_col)))
+    return toks.select(
+        F.col(name_col), F.size("__t").alias("n_trgm"), F.explode("__t").alias("trigram")
+    )
+
+
+class GeocoderTables:
+    def __init__(self, spark: SparkSession, struct: dict, osm_admin: DataFrame,
+                 oa: dict | None = None, wordlist: DataFrame | None = None,
+                 cache: bool = True):
+        self.spark = spark
+        self.houses = struct["struct_house"]
+        self.streets = struct["struct_streets"]
+        self.cities = struct["struct_cities"]
+        self.admin = osm_admin
+        self.oa = oa
+        self.wordlist = wordlist
+
+        # J1 pre-joined: street -> city (inner, as in every geocode function)
+        self.street_city = (
+            self.streets.select(F.col("id").alias("street_id"), F.col("name").alias("road"),
+                                F.col("city_id"))
+            .join(F.broadcast(self.cities.select(F.col("id").alias("__cid"),
+                                                 F.col("name").alias("city_name"),
+                                                 F.col("postcode"))),
+                  F.col("city_id") == F.col("__cid"), "inner")
+            .drop("__cid")
+        )
+
+        # X3: trigram inverted index over distinct street names
+        self.street_name_tokens = tokenize_names(self.streets.select(F.col("name")))
+
+        # prepared admin polygons per level (broadcast PIP dimension)
+        self._prepared = {}
+        for lvl in (4, 6, 8):
+            rows = osm_admin.filter(F.col("admin_level") == lvl).select(
+                "osm_id", "name", "rings").collect()
+            self._prepared[lvl] = spatial.prepare_from_rows(rows)
+        # countries collected driver-side for the J9 lookup
+        self.admin2_rows = [
+            r.asDict() for r in osm_admin.filter(F.col("admin_level") == 2)
+            .select("osm_id", "name", "rings").collect()
+        ]
+
+        if cache:
+            self.houses = self.houses.cache()
+            self.street_city = self.street_city.cache()
+            self.street_name_tokens = self.street_name_tokens.cache()
+
+    def prepared_admin(self, level: int) -> spatial.PreparedPolygons:
+        return self._prepared[level]
+
+    def country_polygon(self, name: str):
+        """_geocode_get_country_polygon (003-forward_geocoding.sql:6-14):
+        trigram match of the country term against admin_level-2 names.
+        The reference returns an arbitrary matching row; we take
+        argmax(similarity) with (name, osm_id) tiebreak (§7.4.3b).
+        Returns PreparedPolygons with one polygon, or None when nothing
+        passes the % threshold (-> ST_Within against NULL -> no rows)."""
+        best = None
+        for r in self.admin2_rows:
+            sim = text.similarity(r["name"], name)
+            if sim >= text.TRGM_SIM_THRESHOLD:
+                key = (-sim, r["name"], r["osm_id"])
+                if best is None or key < best[0]:
+                    best = (key, r)
+        if best is None:
+            return None
+        r = best[1]
+        return spatial.PreparedPolygons([(r["osm_id"], r["name"],
+                                          spatial.geometry.as_rings(r["rings"]))])
