@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines over ``documents``.
+
+Five families (each a __spark_entry__ query with a DuckDB oracle):
+  * exact        — sha256(text) groups (hash-groupBy; one shuffle)
+  * ngram-jaccard— word-3-gram shingle self-join with exact Jaccard
+  * minhash/LSH  — 64-perm minhash signatures, banded LSH candidate join,
+                   exact-Jaccard verification of candidates
+  * simhash      — 64-bit sign-of-weighted-bit-sums signature; near-dup
+                   pairs via banded join + Hamming<=3 verification
+  * embedding    — cosine >= threshold near-dup pairs (see simsearch)
+
+Everything is deterministic integer/md5 math expressible identically in
+Spark SQL and DuckDB: the shared hash primitive is
+``int(md5(x)[:15], 16)`` (63-bit, positive in both engines).
+
+Scale notes: shingle explode shuffles on the shingle hash — frequency-capped
+(``max_df``) to kill the stop-shingle skew; LSH buckets shuffle on
+(band, band_hash); pair verification joins back to the shingle sets of only
+the candidate docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import WORD_RE
+
+N_PERMS = 64
+LSH_BANDS = 8  # 8 bands x 8 rows
+MINHASH_P = 4294967311  # prime > 2^32
+HASH_MOD = 4294967296  # 2^32
+
+
+def _words(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(WORD_RE), F.lit(0))
+
+
+def _h63(col):
+    """Shared Spark/DuckDB 63-bit hash: int(md5(x)[:15], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_sha, n_docs, keeper) for texts appearing more than once;
+    keeper = min doc_id (the row a dedup pass would retain)."""
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram shingles."""
+    words = _words(F.col("text"))
+    grams = F.when(F.size(words) >= n, F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
+                        max_df: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with exact shingle-set Jaccard >=
+    threshold; doc_a < doc_b. ``max_df`` drops shingles appearing in more
+    than max_df docs before pairing (stop-shingle skew cap; None = exact)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairing = sh
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        pairing = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    a = pairing.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pairing.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash): perm i uses h_i(x) = ((2i+1)*x + 7919i +
+    104729) mod P over 32-bit shingle hashes — closed-form perms so the
+    DuckDB oracle derives identical values with no side table."""
+    sh = shingles(docs).withColumn("x", F.pmod(_h63(F.col("shingle")), F.lit(HASH_MOD)))
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
+    expanded = sh.select("doc_id", "x", perms)
+    hval = F.pmod((2 * F.col("perm") + 1) * F.col("x") + 7919 * F.col("perm") + 104729,
+                  F.lit(MINHASH_P))
+    return expanded.select("doc_id", "perm", hval.alias("h")) \
+        .groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      bands: int = LSH_BANDS, n_perms: int = N_PERMS) -> DataFrame:
+    """LSH candidate pairs verified with exact Jaccard: band the signature
+    (bands x rows), bucket-join on (band, md5-of-rows), then compute the true
+    shingle Jaccard for candidates only. Returns (doc_a, doc_b, jaccard)."""
+    rows_per_band = n_perms // bands
+    sig = minhash_signatures(docs, n_perms).withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+    band_hash = (
+        sig.groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
+            F.concat_ws(":", F.col("perm"), F.col("minhash")))))).alias("bh"))
+    )
+    cand = (
+        band_hash.alias("l").join(band_hash.alias("r"),
+                                  (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
+                                  & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")).distinct()
+    )
+    # exact verification of candidates only
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit simhash over distinct words — bit j is 1
+    when the sum over words of (bit j of h63(word) ? +1 : -1) is positive."""
+    w = docs.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("word"))
+    w = w.withColumn("h", _h63(F.col("word")))
+    bits = w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"),
+        "h",
+    ).withColumn("v", F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1))
+    agg = bits.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    return agg.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0))
+        .alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by simhash: 16-bit-band candidate join (any equal band
+    → candidate; a pair within Hamming<=3 of 63 bits always shares one of 4
+    bands) + exact popcount verification. (doc_a, doc_b, hamming)."""
+    sig = simhash_signatures(docs)
+    banded = sig.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(i), F.shiftright("simhash", i * 16).bitwiseAND(0xFFFF))
+            for i in range(4)
+        ])).alias("band"),
+    )
+    cand = (
+        banded.alias("l").join(banded.alias("r"),
+                               (F.col("l.band") == F.col("r.band"))
+                               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

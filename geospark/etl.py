@@ -28,7 +28,15 @@ HOUSE_CELL_RES = 15  # ~1223 m cells; reverse-geocode radius default 100 m
 def _id(*cols):
     """Content-derived surrogate key (replaces gen_random_uuid,
     optimize/001:3 etc. — determinism deviation §7.4.3a)."""
-    return F.sha2(F.concat_ws("", *cols), 256)
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+def _barrier(df: DataFrame) -> DataFrame:
+    """Stage materialization point: in production each optimize stage commits
+    a parquet snapshot (snapshots.Pipeline); locally localCheckpoint gives
+    the same plan barrier. It also keeps the many downstream branches from
+    re-running the Arrow PIP kernels on every action."""
+    return df.localCheckpoint(eager=True)
 
 
 def load_osm_tables(spark: SparkSession, fixture_dir: str) -> dict:
@@ -128,6 +136,9 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
                    F.col("__nm")).otherwise(F.col("city")),
         ).drop("__nm")
 
+    # stage barrier (see _barrier): freeze UDF-filled keys before hashing
+    houses = _barrier(houses)
+
     # --- 006: extract cities (group + ST_Extent bbox agg) ------------------
     cities = (
         houses.filter((F.col("city") != "") | (F.col("postcode") != ""))
@@ -136,6 +147,7 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
              F.max("x").alias("xmax"), F.max("y").alias("ymax"))
         .withColumn("id", _id(F.lit("city"), "name", "postcode"))
     )
+    cities = _barrier(cities)
 
     # --- 008: backfill city_id on houses (equi-join on name+postcode) ------
     houses = houses.join(
@@ -154,6 +166,7 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
              F.max("x").alias("xmax"), F.max("y").alias("ymax"))
         .withColumn("id", _id(F.lit("street"), F.coalesce("city_id", F.lit("∅")), "name"))
     )
+    streets = _barrier(streets)
 
     # --- 011: backfill street_id (strict equality: NULL city_id never joins,
     # exactly like the Postgres UPDATE — orphan houses keep NULL street_id) -

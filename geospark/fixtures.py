@@ -278,6 +278,23 @@ def build_webpages(world, n_pages: int = 1500, seed: int = 42):
     return pages
 
 
+def build_media(n: int = 60, seed: int = 42):
+    """Multimodal fixture: opaque binary payloads + typed metadata. Payload
+    bytes are seeded-deterministic (hash-expanded), no real codecs."""
+    rng = np.random.RandomState(seed + 3)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = {"image": 256, "audio": 512, "video": 2048}[kind] + int(rng.randint(0, 64))
+        payload = rng.randint(0, 256, size, dtype=np.uint8).tobytes()
+        rows.append(dict(media_id=i, kind=kind, payload=payload,
+                         width=64 + i if kind == "image" else None,
+                         sample_rate=16000 if kind == "audio" else None,
+                         n_frames=size // 64 if kind == "video" else None))
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # query tables (FIXTURES.md §4)
 # ---------------------------------------------------------------------------
@@ -384,6 +401,11 @@ def write_fixtures(out_dir: str = FIXTURE_DIR, n_streets_per_city: int = 6,
            schema=pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
                              ("html", pa.binary()), ("text", pa.string()),
                              ("lang", pa.string())]))
+
+    _write(build_media(seed=seed), f"{out_dir}/media.parquet",
+           schema=pa.schema([("media_id", pa.int64()), ("kind", pa.string()),
+                             ("payload", pa.binary()), ("width", pa.int64()),
+                             ("sample_rate", pa.int64()), ("n_frames", pa.int64())]))
 
     fwd, rev, predict = build_queries()
     # reverse queries derived from actual house positions (stable offsets)

@@ -137,7 +137,11 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
     # P2: radius filter around center; distance NULL when center is NULL
     cand = cand.withColumn(
         "distance",
-        F.when(F.col("cx").isNotNull(), F.hypot(F.col("x") - F.col("cx"), F.col("y") - F.col("cy"))))
+        # sqrt(dx^2+dy^2) (not Java hypot): bit-identical to PostGIS
+        # ST_Distance and to the DuckDB oracle's formula
+        F.when(F.col("cx").isNotNull(), F.sqrt(
+            (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+            + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")))))
     cand = cand.filter(F.col("cx").isNull() | (F.col("distance") <= F.col("radius")))
 
     # P4: country containment (with-country variants 003:112,260,405)

@@ -1,0 +1,116 @@
+"""Web-page mining: the engine's primary 10^12-document workload.
+
+Input table (BASELINE.json input_hint): (url string, warc_ts timestamp,
+html binary, text string, lang string). This module:
+
+  * re-extracts text from html with the deterministic extractor and verifies
+    the byte-identical-per-url invariant,
+  * mines structured address candidates and coordinate pairs from the text
+    with JVM-side regexp (no Python in the scan),
+  * geocode-joins the mined candidates against the reference tables
+    (forward join for addresses, reverse k-ring join for coordinates) —
+    the "geocode-join throughput (pages/sec)" headline metric.
+
+Scale notes: the page scan is embarrassingly parallel (narrow);
+regexp_extract_all stays inside whole-stage codegen; only the distinct mined
+terms hit the trigram join (tiny relative to pages); the coordinate join
+shuffles by cell id.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+from . import extract
+from .forward import forward_geocode
+from .reverse import reverse_geocode
+
+# "Visit us at Main Street 12, 62704 Springfield." style address mentions:
+# street words + number, comma, postcode, city word(s)
+ADDR_RE = (
+    r"([A-ZÀ-Þ][\wß-ÿ]+(?:[ -][A-ZÀ-Þ]?[\wß-ÿ]+)*)"
+    r"\s+(\d+[a-z]?)\s*,\s*(\d{4,5})\s+"
+    r"([A-ZÀ-Þ][\wß-ÿ]+)"
+)
+# "47.550535, 9.738889" style lat, lon pairs
+COORD_RE = r"(-?\d{1,2}\.\d{3,8})\s*,\s*(-?\d{1,3}\.\d{3,8})"
+
+
+def extract_text_col(html_col):
+    """Arrow-batched deterministic extractor (pure function of html bytes)."""
+
+    @F.pandas_udf(StringType())
+    def _ex(html: pd.Series) -> pd.Series:
+        return html.map(lambda b: extract.extract_text(bytes(b)) if b is not None else "")
+
+    return _ex(html_col)
+
+
+def verify_extraction(pages: DataFrame) -> DataFrame:
+    """Per-url invariant check: stored text == extractor(html), as sha256 —
+    returns (url, ok). Running this at two parallelism levels and hashing
+    the result evidences byte-identical extraction (BASELINE.md)."""
+    return pages.select(
+        "url",
+        (F.sha2(extract_text_col(F.col("html")), 256) == F.sha2(F.col("text"), 256)).alias("ok"),
+    )
+
+
+def mine_addresses(pages: DataFrame) -> DataFrame:
+    """(url, road, house_number, postcode, city) candidates via JVM regexp."""
+    m = pages.select(
+        "url", F.regexp_extract_all(F.col("text"), F.lit(ADDR_RE), F.lit(0)).alias("__ms"),
+        F.col("text"),
+    ).select("url", F.explode("__ms").alias("__m"))
+    return m.select(
+        "url",
+        F.regexp_extract("__m", ADDR_RE, 1).alias("road"),
+        F.regexp_extract("__m", ADDR_RE, 2).alias("house_number"),
+        F.regexp_extract("__m", ADDR_RE, 3).alias("postcode"),
+        F.regexp_extract("__m", ADDR_RE, 4).alias("city"),
+    ).filter(F.col("road") != "")
+
+
+def mine_coordinates(pages: DataFrame) -> DataFrame:
+    """(url, lat, lon) candidates; plausibility-filtered to valid ranges."""
+    m = pages.select(
+        "url", F.explode(F.regexp_extract_all(F.col("text"), F.lit(COORD_RE), F.lit(0))).alias("__m"))
+    out = m.select(
+        "url",
+        F.regexp_extract("__m", COORD_RE, 1).cast("double").alias("lat"),
+        F.regexp_extract("__m", COORD_RE, 2).cast("double").alias("lon"),
+    )
+    return out.filter((F.abs("lat") <= 85.06) & (F.abs("lon") <= 180.0))
+
+
+def geocode_pages(spark, tables, pages: DataFrame,
+                  fwd_limit: int = 1, rev_radius: float = 150.0,
+                  rev_limit: int = 1) -> DataFrame:
+    """The headline geocode-join: mined addresses forward-geocoded + mined
+    coordinates reverse-geocoded, unioned as (url, kind, road, house_number,
+    postcode, city, x, y)."""
+    addr = mine_addresses(pages).withColumn(
+        "query_id", F.xxhash64("url", "road", "house_number", "postcode", "city"))
+    fwd_q = addr.select(
+        "query_id", "road", "house_number", "postcode", "city",
+        F.lit(None).cast("string").alias("country"),
+        F.lit(None).cast("double").alias("center_lat"),
+        F.lit(None).cast("double").alias("center_lon"),
+        F.lit(20000.0).alias("radius"), F.lit(fwd_limit).alias("limit"),
+    )
+    fwd = forward_geocode(spark, tables, fwd_q).select(
+        "query_id", F.lit("address").alias("kind"),
+        "road", "house_number", "postcode", "city", "x", "y")
+    fwd = fwd.join(addr.select("query_id", "url"), "query_id", "inner").drop("query_id")
+
+    coords = mine_coordinates(pages).withColumn("query_id", F.xxhash64("url", "lat", "lon"))
+    rev_q = coords.select("query_id", "lat", "lon",
+                          F.lit(rev_radius).alias("radius"), F.lit(rev_limit).alias("limit"))
+    rev = reverse_geocode(spark, tables, rev_q, with_fallback=False).select(
+        "query_id", F.lit("coordinate").alias("kind"),
+        "road", "house_number", "postcode", "city", "x", "y")
+    rev = rev.join(coords.select("query_id", "url"), "query_id", "inner").drop("query_id")
+
+    return fwd.unionByName(rev)

@@ -95,7 +95,11 @@ def _candidates(q: DataFrame, houses: DataFrame) -> DataFrame:
     cand = cand.filter(
         (F.col("x") >= F.col("qx") - F.col("radius"))
         & (F.col("x") <= F.col("qx") + F.col("radius"))
-    ).withColumn("distance", F.hypot(F.col("x") - F.col("qx"), F.col("y") - F.col("qy")))
+    ).withColumn("distance", F.sqrt(
+        # sqrt form (not Java hypot): bit-identical to PostGIS ST_Distance
+        # and to the DuckDB oracle's formula
+        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))))
     return cand.filter(F.col("distance") <= F.col("radius"))
 
 

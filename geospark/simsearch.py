@@ -1,0 +1,97 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+  * brute-force cosine top-k — the exactness baseline; dot products via
+    JVM-side higher-order functions (zip_with + aggregate: whole-stage
+    codegen, no Python),
+  * IVF-bucketed ANN — deterministic centroid seeding (first K vec_ids),
+    assign every vector to its nearest centroid (one narrow pass against a
+    broadcast centroid set), probe the top-P centroids per query, search
+    only those buckets: the 100 TB path (brute force is O(Q*N); IVF is
+    O(Q*N*P/K) with the same top-k contract when recall allows),
+  * embedding cosine near-dup pairs (for dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+    ``queries``: (query_id, embedding). Returns (query_id, vec_id, cosine,
+    rank); ties broken by vec_id for determinism."""
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = q.crossJoin(emb.select("vec_id", "embedding"))
+    scored = pairs.select(
+        "query_id", "vec_id",
+        F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(spark, emb: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: centroids = the first ``n_centroids`` vectors
+    by vec_id (seeded, no k-means iterations — reproducibility beats cluster
+    quality for the correctness contract; a k-means refiner can swap in
+    without changing the query path). Returns (centroids, assigned)."""
+    centroids = emb.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_col(F.col("embedding"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(spark, emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 8, n_probe: int = 2) -> DataFrame:
+    """ANN top-k: probe the n_probe nearest centroids per query, search only
+    their buckets. Same output shape as cosine_topk."""
+    centroids, assigned = ivf_assign(spark, emb, n_centroids)
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_col(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    scored = (
+        probes.join(assigned, "centroid_id")
+        .select("query_id", "vec_id",
+                F.round(cosine_col(F.col("q_emb"), F.col("embedding")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
+    """(vec_a, vec_b, cosine) pairs with cosine >= threshold, vec_a < vec_b —
+    brute-force exact (the small-dim baseline; LSH-bucketed variant would
+    reuse the simhash banding over sign bits)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a", "vec_b",
+        F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
