@@ -100,10 +100,13 @@ def build_world(n_streets_per_city: int = 6, n_houses_per_street: int = 40, seed
             counties.append((cname, cx0, y0, cx1, y1))
             admin.append(dict(osm_id=osm_id, name=cname, admin_level=6, type="administrative",
                               rings=[ring])); osm_id += 1
-    # one OVERLAPPING county on top of county 0 → J3 multiplicity fixture
-    cx0, cy0 = counties[0][1], counties[0][2]
+    # one OVERLAPPING county that covers part of the first city (Amberg sits
+    # at the center of county 0) → J3 left-join row multiplicity fixture
+    ccx0 = (counties[0][1] + counties[0][3]) / 2
+    ccy0 = (counties[0][2] + counties[0][4]) / 2
     admin.append(dict(osm_id=osm_id, name="Overlap Special District", admin_level=6,
-                      type="special", rings=[_rect(cx0 + 5_000, cy0 + 5_000, cx0 + 30_000, cy0 + 30_000)]))
+                      type="special",
+                      rings=[_rect(ccx0 - 6_000, ccy0 - 6_000, ccx0 + 500, ccy0 + 6_000)]))
     osm_id += 1
 
     # city polygons (admin_level 8) centered in their county

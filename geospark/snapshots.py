@@ -46,7 +46,12 @@ def commit(df: DataFrame, table_dir: str, name: str, mode: str = "error") -> dic
     """Write df as the next snapshot of ``table_dir`` with lineage records."""
     prev = _snapshot_files(table_dir)
     version = len(prev) + 1
-    data_dir = os.path.join(table_dir, f"data-v{version}")
+    # skip past orphaned data dirs from crashed (never-committed) writes —
+    # only the snapshot-json rename commits a data dir
+    k = version
+    while os.path.exists(os.path.join(table_dir, f"data-v{k}")):
+        k += 1
+    data_dir = os.path.join(table_dir, f"data-v{k}")
     df.write.mode(mode).parquet(data_dir)
 
     # per-partition lineage of the *written* data (read back so the lineage

@@ -1,0 +1,106 @@
+"""ETL semantics tests: optimize/001..014 + wordlist + OA importer."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def test_struct_house_fill_semantics(spark, geo):
+    """Rural houses (city='', postcode='') get postcode from the postal
+    polygon (optimize/004) then city from admin fallback (optimize/005);
+    orphans outside every polygon keep NULL street_id and drop out of
+    geocoding (strict NULL equality in 011)."""
+    struct = geo["struct"]
+    h = struct["struct_house"]
+    streets = struct["struct_streets"]
+    cities = struct["struct_cities"]
+    rural_street = streets.filter("name = 'Feldweg'").collect()
+    assert len(rural_street) == 1
+    city = cities.filter(cities.id == rural_street[0].city_id).collect()[0]
+    assert (city.name, city.postcode) == ("Südland County 1", "99999")
+    orphans = h.filter("osm_id >= 500000").join(
+        spark.read.parquet("fixtures/osm_house_number.parquet")
+        .filter("street = 'Nowhere Lane'").select("osm_id"), "osm_id")
+    assert orphans.count() == 5
+    assert orphans.filter("street_id is not null").count() == 0
+
+
+def test_content_derived_ids_are_stable(geo):
+    """§7.4.3a: ids are pure functions of content (rerun-reproducible)."""
+    for r in geo["struct"]["struct_cities"].select("id", "name", "postcode").collect():
+        assert r.id == hashlib.sha256(f"city{r.name}{r.postcode}".encode()).hexdigest()
+
+
+def test_building_houses_join_postal(spark, geo):
+    """optimize/002: buildings with house numbers enter struct_house with
+    centroid coordinates and the postal polygon's postcode."""
+    h = geo["struct"]["struct_house"]
+    bld = h.filter("osm_id >= 700000")
+    assert bld.count() > 0
+    # buildings in the fixture have house numbers >= 100
+    assert bld.filter(F.col("house_number").cast("int") < 100).count() == 0
+
+
+def test_wordlist_counts(spark, geo):
+    """geocoder/001: word counts = street rows per city name + house rows per
+    street name, summed across the union (A3/A4/U1)."""
+    from geospark import etl
+
+    wl = {r.word: r.ct for r in etl.build_wordlist(geo["struct"]).collect()}
+    assert "Dickenreuth" in wl and "Feldweg" in wl
+    # 'Marktplatz' appears only as a street name: ct = sum of houses on all
+    # streets named Marktplatz
+    h = geo["struct"]["struct_house"]
+    s = geo["struct"]["struct_streets"]
+    n_houses = (s.filter("name = 'Marktplatz'")
+                .join(h, h.street_id == s.id, "inner").count())
+    assert wl["Marktplatz"] == n_houses
+
+
+def test_oa_importer_semantics(spark, geo):
+    """S3/A6: title-casing, content-hash dedup, last-wins house dedup,
+    postcode uppercased, empty fields stored as single space, name NULL."""
+    oa = geo["oa"]
+    cities = {r.city for r in oa["oa_city"].collect()}
+    assert cities == {"Springfield", "Rivertown"}
+    streets = {r.street for r in oa["oa_street"].collect()}
+    assert streets == {"Oak Avenue", "Elm Street", "Maple Drive"}
+    units = {r.unit for r in oa["oa_street"].collect()}
+    assert units == {" "}  # empty → single space (COPY writer bug-for-bug)
+    houses = oa["oa_house"].collect()
+    assert all(r.name is None for r in houses)
+    assert len(houses) == 90  # 2×3×15: duplicate number '1' deduped last-wins
+
+
+def test_oa_house_last_wins(spark, geo):
+    """The duplicate 'oak avenue #1' row later in the CSV wins (dict
+    overwrite at import_openaddress_data.py:410)."""
+    from geospark import proj
+    import numpy as np
+
+    oa = geo["oa"]
+    street = oa["oa_street"].filter("street = 'Oak Avenue'") \
+        .join(oa["oa_city"].filter("city = 'Springfield'").select(F.col("id").alias("city_id")),
+              "city_id").collect()
+    h1 = oa["oa_house"].filter(
+        (F.col("street_id") == street[0].id) & (F.col("housenumber") == "1")).collect()
+    assert len(h1) == 1
+    lon, _ = proj.merc_to_lonlat(np.array([h1[0].x]), np.array([0.0]))
+    assert abs(float(lon[0]) - (-89.650 + 0.0001)) < 1e-9  # the LAST row's lon
+
+
+def test_license_parsing(geo):
+    lic = {r.source: r for r in geo["oa"]["oa_license"].collect()}
+    assert lic["us/il/test"].attribution == "Example County GIS"
+    assert lic["us/ny/rivertown"].attribution is None  # 'Yes' → absent
+    assert lic["us/il/test"].license == "CC-BY-4.0"
+
+
+def test_street_geometry_backfill(geo):
+    """optimize/012: street geometry from a name-matching road whose bbox
+    intersects the street extent; deterministic min-osm_id winner."""
+    s = geo["struct"]["struct_streets"]
+    with_geom = s.filter("geometry is not null").count()
+    assert with_geom >= 48  # every city street matched its road line
+    # rural Feldweg street has no road → NULL geometry
+    assert s.filter("name = 'Feldweg' and geometry is not null").count() == 0

@@ -1,0 +1,171 @@
+"""End-to-end geocoder behavior on the fixture world (SURVEY.md §5.3).
+
+The named cases mirror the reference's own embedded example queries:
+  * geocode_osm('Georgenstr', '34', NULL, 'Amberg', ...)  (003:496)
+  * point_to_address_osm(...) with radius + limit          (004:101)
+  * predict_text('Dickenr')                                (002:32)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fwd(spark, geo, **kw):
+    from geospark.forward import forward_geocode
+
+    defaults = dict(query_id=1, road=None, house_number=None, postcode=None,
+                    city=None, country=None, center_lat=None, center_lon=None,
+                    radius=20000, limit=20)
+    defaults.update(kw)
+    q = spark.createDataFrame(
+        [tuple(defaults.values())],
+        "query_id long, road string, house_number string, postcode string, "
+        "city string, country string, center_lat double, center_lon double, "
+        "radius int, limit int")
+    return forward_geocode(spark, geo["tables"], q)
+
+
+def test_forward_reference_demo_query(spark, geo):
+    # SELECT * FROM geocode_osm('Georgenstr', '34', NULL, 'Amberg', …)
+    rows = _fwd(spark, geo, road="Georgenstr", house_number="34", city="Amberg").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.road, r.house_number, r.city, r.postcode) == ("Georgenstraße", "34", "Amberg", "92224")
+    assert r.state == "Nordland" and r.house is None
+    assert r.distance is None  # no center → NULL distance (O1 NULLS LAST)
+    assert r.license_id == "00000000-0000-0000-0000-000000000000"
+
+
+def test_forward_postcode_precedence_over_city(spark, geo):
+    # geocode_osm dispatch: postcode branch wins (003:474-492); the bogus
+    # city term must be ignored entirely
+    rows = _fwd(spark, geo, road="Hauptstr", postcode="95505", city="Zzz").collect()
+    assert rows and all(r.city == "Dickenreuth" for r in rows)
+
+
+def test_forward_country_restriction(spark, geo):
+    rows = _fwd(spark, geo, road="Main Street", country="Adressia", limit=100).collect()
+    assert rows and all(r.state in ("Eastmark", "Westmark") for r in rows)
+    # unknown country → no polygon passes the % threshold → zero rows
+    assert _fwd(spark, geo, road="Main Street", country="Xyzzyland").count() == 0
+
+
+def test_forward_center_radius_and_ranking(spark, geo):
+    from geospark import proj
+    import numpy as np
+    # center on Amberg; huge radius; results ordered by planar distance
+    lon, lat = proj.merc_to_lonlat(np.array([1037500.0]), np.array([6225000.0]))
+    rows = _fwd(spark, geo, road="Georgenstr", center_lat=float(lat[0]),
+                center_lon=float(lon[0]), radius=10_000_000, limit=50).collect()
+    assert rows
+    dists = [r.distance for r in rows]
+    assert dists == sorted(dists)
+    assert all(d is not None for d in dists)
+
+
+def test_reverse_basic_and_limit(spark, geo):
+    from geospark.reverse import reverse_geocode
+
+    rq = spark.read.parquet("fixtures/rev_queries.parquet")
+    out = reverse_geocode(spark, geo["tables"], rq)
+    per_q = {r["query_id"]: r["n"] for r in
+             out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 10 for n in per_q.values())
+    # distances monotone per query
+    pdf = out.orderBy("query_id").toPandas()
+    for qid, grp in pdf.groupby("query_id"):
+        d = grp["distance"].tolist()
+        assert d == sorted(d)
+        assert all(x <= 150.0 for x in d)
+
+
+def test_reverse_oa_fallback(spark, geo):
+    from geospark.reverse import reverse_geocode
+
+    rq = spark.read.parquet("fixtures/rev_queries.parquet")
+    out = reverse_geocode(spark, geo["tables"], rq).toPandas()
+    oa_rows = out[out.license_id != "00000000-0000-0000-0000-000000000000"]
+    assert len(oa_rows) > 0  # the Springfield OA query fell back (J11)
+    assert set(oa_rows.road) == {"Oak Avenue"}
+    # the middle-of-nowhere query returns nothing from either source
+    assert 6 not in set(out.query_id)
+
+
+def test_admin_overlap_multiplicity(spark, geo):
+    """Overlapping admin_level-6 polygons duplicate result rows exactly like
+    the reference's LEFT JOIN (§7.4.7) — never dedup."""
+    rows = _fwd(spark, geo, road="Georgenstr", city="Amberg", limit=200).collect()
+    west = [r for r in rows if r.x < 1037900.0]
+    counties = {r.county for r in west}
+    assert counties == {"Nordland County 1", "Overlap Special District"}
+    # each western house appears once per matching county polygon
+    from collections import Counter
+    per_house = Counter((r.x, r.y) for r in west)
+    assert set(per_house.values()) == {2}
+
+
+def test_predict_reference_demo(spark, geo):
+    from geospark.predict import predict_text
+
+    q = spark.createDataFrame([(1, "Dickenr")], "query_id long, input string")
+    rows = predict_text(spark, geo["wordlist"], q).collect()
+    words = [r.word for r in rows]
+    assert "Dickenreuth" in words and "Dickenreuther" in words
+    # ordering: dist asc, ct desc, len asc, word asc (002:23-28)
+    keys = [(r.dist, -r.ct, len(r.word), r.word) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_predict_against_pure_python_reference(spark, geo):
+    """Engine predict == a direct pure-Python evaluation of the 002 SQL
+    semantics over the same wordlist (kernel-level independent check)."""
+    from geospark import metaphone, text
+    from geospark.predict import predict_text
+
+    wl = geo["wordlist"].select("word", "ct").collect()
+    user_input = "Georgenstr"
+
+    def reference_predict(inp):
+        qp, qa = metaphone.double_metaphone(inp)
+        cands = []
+        for r in wl:
+            wp, wa = metaphone.double_metaphone(r.word)
+            if any(text.is_similar(a, b) for a in (wp, wa) for b in (qp, qa)):
+                dist = text.prefix_levenshtein(r.word, inp)
+                if dist < 3:
+                    cands.append((dist, -r.ct, len(r.word), r.word))
+        return [w for *_, w in sorted(cands)[:10]]
+
+    q = spark.createDataFrame([(1, user_input)], "query_id long, input string")
+    got = [r.word for r in predict_text(spark, geo["wordlist"], q)
+           .orderBy("dist", F.desc("ct"), F.length("word"), "word").collect()]
+    assert got == reference_predict(user_input)
+
+
+def test_format_addresses(spark, geo):
+    from geospark import entry_queries as eq
+
+    pdf = eq.q_format_addresses(spark, "fixtures").toPandas()
+    assert len(pdf) > 0
+    sample = pdf.iloc[0]
+    assert sample.road in sample.formatted
+    assert "\n" in sample.formatted  # multi-line default template
+
+
+def test_partition_invariance(spark, geo):
+    """north_rule: identical results regardless of parallelism — same query
+    at shuffle.partitions 32 vs 7 must produce identical sorted output."""
+    from geospark import entry_queries as eq
+
+    def run():
+        pdf = eq.q_reverse_geocode(spark, "fixtures").toPandas()
+        cols = sorted(pdf.columns)
+        return sorted(map(tuple, pdf[cols].astype(str).values.tolist()))
+
+    base = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        alt = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert base == alt
