@@ -1,0 +1,122 @@
+"""Benchmark runner (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+The geocode workload runs against a deterministic sf-scaled synthetic world
+(geospark.benchgen) cached under BENCH/; the training-data / relational
+queries run on the driver's sf tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main():
+    sf = infer_sf(SF_DIR)
+    from geospark.session import get_spark
+    from geospark import benchgen, etl, mine, oa
+    from geospark.tables import GeocoderTables
+    from geospark.forward import forward_geocode
+    from geospark.reverse import reverse_geocode
+    from geospark.predict import predict_text, prepare_wordlist
+    from geospark import dedup, simsearch
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    world_dir = benchgen.ensure_bench_world(BENCH_ROOT, sf)
+
+    # engine build (ETL) is timed as its own entry
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    def build():
+        osm = etl.load_osm_tables(spark, world_dir)
+        struct = etl.build_struct_tables(spark, osm)
+        struct = {k: v.cache() for k, v in struct.items()}
+        for v in struct.values():
+            v.count()
+        tables = GeocoderTables(spark, struct, osm["osm_admin"])
+        tables.houses.count()
+        tables.street_city.count()
+        tables.street_name_tokens.count()
+        return struct, tables
+
+    struct, tables = timed("etl_build", build)
+
+    pages = spark.read.parquet(f"{world_dir}/webpages.parquet").cache()
+    n_pages = pages.count()
+
+    timed("extract_verify", lambda: mine.verify_extraction(pages).filter("not ok").count())
+    timed("geocode_pages", lambda: mine.geocode_pages(spark, tables, pages).count())
+
+    rq = spark.createDataFrame(
+        [tuple(r.values()) for r in benchgen.reverse_query_rows(world_dir, max(2000, int(50_000 * sf)))],
+        "query_id long, lat double, lon double, radius double, limit int")
+    timed("reverse_geocode", lambda: reverse_geocode(spark, tables, rq, with_fallback=False).count())
+
+    fq = spark.createDataFrame(
+        [tuple(r.values()) for r in benchgen.forward_query_rows(max(100, int(2_000 * sf)))],
+        "query_id long, road string, house_number string, postcode string, city string, "
+        "country string, center_lat double, center_lon double, radius int, limit int")
+    timed("forward_geocode", lambda: forward_geocode(spark, tables, fq).count())
+
+    wl = prepare_wordlist(etl.build_wordlist(struct)).cache()
+    pq = spark.createDataFrame(
+        [(i, w[: 4 + i % 5]) for i, w in enumerate(
+            [r.word for r in wl.select("word").limit(100).collect()])],
+        "query_id long, input string")
+    timed("predict_text", lambda: predict_text(spark, wl, pq).count())
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5).count())
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    q = emb.filter("vec_id < 8").select(F.col("vec_id").alias("query_id"), "embedding")
+    timed("ann_topk", lambda: simsearch.cosine_topk(emb, q, 5).count())
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed("tpch_pricing", lambda: li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum("l_quantity"), F.count("*")).count())
+
+    total = round(sum(timings.values()), 3)
+    geo_sec = timings["extract_verify"] + timings["geocode_pages"]
+    print(json.dumps({
+        "metric": "geocode_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / geo_sec, 1) if geo_sec > 0 else None,
+        "cpus": int(CPUS),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -275,16 +275,18 @@ FROM (SELECT * FROM osm_rows UNION ALL SELECT * FROM oa_rows)
 """
 
 
-def forward_oracle_sql() -> str:
+def forward_oracle_sql(fq_cte: str | None = None) -> str:
     dist = "sqrt((h.x - q.qx) * (h.x - q.qx) + (h.y - q.qy) * (h.y - q.qy))"
-    return f"""
-WITH {STRUCT_CTES},
-fq AS (
+    if fq_cte is None:
+        fq_cte = f"""
     SELECT query_id, road AS q_road, house_number AS q_hn, postcode AS q_pc, city AS q_city,
            country, "limit", radius::DOUBLE AS radius,
            CASE WHEN center_lat IS NOT NULL THEN radians(center_lon) * 6378137.0 END AS qx,
            CASE WHEN center_lat IS NOT NULL THEN ln(tan(pi() / 4 + radians(center_lat) / 2)) * 6378137.0 END AS qy
-    FROM {_pq('fwd_queries')} WHERE road IS NOT NULL
+    FROM {_pq('fwd_queries')} WHERE road IS NOT NULL"""
+    return f"""
+WITH {STRUCT_CTES},
+fq AS ({fq_cte}
 ),
 names AS (SELECT DISTINCT name FROM streets),
 cand0 AS (
@@ -1018,3 +1020,83 @@ QUERIES = {
     "tpch_pricing": q_tpch_pricing,
     "topk_orders": q_topk_orders,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-1 late additions: imposm source filters (S1/S2) + unstructured
+# forward geocoding (S8/F21 libpostal-fallback splitter)
+# ---------------------------------------------------------------------------
+
+def q_osm_source_filter(spark, sf_dir):
+    """imposm mapping filters over the raw tagged-elements table: emits
+    (table_name, osm_id) of every accepted element — reject rows must be
+    absent (S2)."""
+    from . import sources
+
+    raw = spark.read.parquet(f"{FIX}/osm_raw_elements.parquet")
+    t = sources.import_osm(raw)
+    parts = [t[name].select(F.lit(name).alias("table_name"), "osm_id")
+             for name in sorted(t)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLES["osm_source_filter"] = f"""
+WITH raw AS (SELECT * FROM {_pq('osm_raw_elements')})
+SELECT 'osm_admin' AS table_name, osm_id FROM raw
+WHERE kind = 'polygon' AND json_extract_string(tags_json, '$.boundary') = 'administrative'
+  AND json_extract_string(tags_json, '$.admin_level') IS NOT NULL
+UNION ALL
+SELECT 'osm_buildings', osm_id FROM raw
+WHERE kind = 'polygon' AND json_extract_string(tags_json, '$.building') IS NOT NULL
+UNION ALL
+SELECT 'osm_house_number', osm_id FROM raw
+WHERE kind = 'point' AND json_extract_string(tags_json, '$."addr:housenumber"') IS NOT NULL
+UNION ALL
+SELECT 'osm_postal_code', osm_id FROM raw
+WHERE kind = 'polygon' AND json_extract_string(tags_json, '$.postal_code') IS NOT NULL
+UNION ALL
+SELECT 'osm_roads', osm_id FROM raw
+WHERE kind = 'linestring' AND json_extract_string(tags_json, '$.highway') IS NOT NULL
+  AND json_extract_string(tags_json, '$.name') IS NOT NULL
+  AND coalesce(json_extract_string(tags_json, '$.area'), 'no') <> 'yes'
+"""
+
+
+def q_forward_unstructured(spark, sf_dir):
+    from .forward import forward_geocode_unstructured
+
+    st = geo_state(spark)
+    q = spark.read.parquet(f"{FIX}/unstructured_queries.parquet")
+    f = forward_geocode_unstructured(spark, st["tables"], q)
+    return f.select("query_id", "house", "road", "house_number", "postcode", "city",
+                    "county", "state",
+                    _mm(F.col("x")).alias("x_mm"), _mm(F.col("y")).alias("y_mm"),
+                    _mm(F.col("distance")).alias("distance_mm"),
+                    F.round(F.col("trgm_dist") * 1e6).cast("long").alias("trgm_dist_e6"),
+                    "license_id")
+
+
+def _unstructured_fq_cte() -> str:
+    from .mine import ADDR_RE
+
+    a = ("^" + ADDR_RE + "$").replace("'", "''")
+    return f"""
+    SELECT query_id,
+           CASE WHEN regexp_extract(search_term, '{a}', 1) <> ''
+                THEN regexp_extract(search_term, '{a}', 1) ELSE search_term END AS q_road,
+           nullif(regexp_extract(search_term, '{a}', 2), '') AS q_hn,
+           nullif(regexp_extract(search_term, '{a}', 3), '') AS q_pc,
+           nullif(regexp_extract(search_term, '{a}', 4), '') AS q_city,
+           country, "limit", radius::DOUBLE AS radius,
+           CASE WHEN center_lat IS NOT NULL THEN radians(center_lon) * 6378137.0 END AS qx,
+           CASE WHEN center_lat IS NOT NULL THEN ln(tan(pi() / 4 + radians(center_lat) / 2)) * 6378137.0 END AS qy
+    FROM {_pq('unstructured_queries')}"""
+
+
+ORACLES["forward_unstructured"] = forward_oracle_sql(_unstructured_fq_cte())
+
+QUERIES["osm_source_filter"] = q_osm_source_filter
+QUERIES["forward_unstructured"] = q_forward_unstructured

@@ -72,6 +72,23 @@ def cell_col(x_col, y_col, res: int = HOUSE_CELL_RES):
     return _cell(x_col, y_col)
 
 
+def grid_cols(x_col, y_col, res: int = HOUSE_CELL_RES):
+    """(ix, iy) grid coordinates as pure JVM Columns — identical math to
+    cells.xy_to_ij (floor((v+L)/size) clipped). The spatial equi-join runs on
+    (ix, iy) so the probe side needs no Python at all; the Morton cell_id
+    column remains for clustering/sorting locality."""
+    from .proj import L as _L
+
+    n = 1 << res
+    size = cell_mod.cell_size(res)
+
+    def _g(c):
+        return F.least(F.greatest(F.floor((c + F.lit(_L)) / F.lit(size)), F.lit(0)),
+                       F.lit(n - 1)).cast("long")
+
+    return _g(x_col), _g(y_col)
+
+
 def geohash_col(x_col, y_col, precision: int = 12):
     import numpy as np
 
@@ -228,9 +245,11 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     )
 
     # --- 014/015: cleanup + spatial clustering columns ----------------------
+    gx, gy = grid_cols(F.col("x"), F.col("y"))
     struct_house = houses.select(
         "id", "osm_id", "house_number", "x", "y", "street_id",
     ).withColumn("cell_id", cell_col(F.col("x"), F.col("y"))) \
+     .withColumn("ix", gx).withColumn("iy", gy) \
      .withColumn("geohash", geohash_col(F.col("x"), F.col("y")))
     # CLUSTER ... USING geohash (optimize/015) + the importer's 360-way
     # range partitioning on ST_X (X1) -> range-partition on the Morton cell id

@@ -281,6 +281,70 @@ def build_webpages(world, n_pages: int = 1500, seed: int = 42):
     return pages
 
 
+def build_raw_elements(world, admin_polys, postal_polys, bld_polys):
+    """Raw OSM-elements table (osm_id, kind, tags_json, geometry cols) that
+    the imposm-mapping filters (geospark/sources.py) must reduce back to the
+    5 OSM tables — including reject rows exercising every filter rule."""
+    import json
+
+    rows = []
+    G = dict(rings=None, xmin=None, ymin=None, xmax=None, ymax=None,
+             centroid_x=None, centroid_y=None, line=None,
+             x0=None, y0=None, x1=None, y1=None, x=None, y=None)
+
+    def add(osm_id, kind, tags, **geom):
+        r = dict(G)
+        r.update(geom)
+        rows.append(dict(osm_id=osm_id, kind=kind, tags_json=json.dumps(tags, sort_keys=True), **r))
+
+    for p in admin_polys:
+        add(p["osm_id"], "polygon",
+            {"boundary": "administrative", "admin_level": str(p["admin_level"]),
+             "name": p["name"]},
+            rings=p["rings"], xmin=p["xmin"], ymin=p["ymin"], xmax=p["xmax"], ymax=p["ymax"],
+            centroid_x=p["centroid_x"], centroid_y=p["centroid_y"])
+    for p in postal_polys:
+        add(p["osm_id"], "polygon", {"postal_code": p["postcode"]},
+            rings=p["rings"], xmin=p["xmin"], ymin=p["ymin"], xmax=p["xmax"], ymax=p["ymax"],
+            centroid_x=p["centroid_x"], centroid_y=p["centroid_y"])
+    for p in bld_polys:
+        tags = {"building": p["type"]}
+        if p["name"]:
+            tags["name"] = p["name"]
+        if p["street"]:
+            tags["addr:street"] = p["street"]
+        if p["house_number"]:
+            tags["addr:housenumber"] = p["house_number"]
+        add(p["osm_id"], "polygon", tags,
+            rings=p["rings"], xmin=p["xmin"], ymin=p["ymin"], xmax=p["xmax"], ymax=p["ymax"],
+            centroid_x=p["centroid_x"], centroid_y=p["centroid_y"])
+    for r in world["osm_roads"]:
+        add(r["osm_id"], "linestring",
+            {"highway": r["type"], "name": r["street"]},
+            line=[[float(p[0]), float(p[1])] for p in r["line"]],
+            x0=r["line"][0][0], y0=r["line"][0][1], x1=r["line"][1][0], y1=r["line"][1][1])
+    for h in world["osm_house_number"]:
+        tags = {"addr:housenumber": h["house_number"]}
+        if h["city"]:
+            tags["addr:city"] = h["city"]
+        if h["postcode"]:
+            tags["addr:postcode"] = h["postcode"]
+        if h["street"]:
+            tags["addr:street"] = h["street"]
+        add(h["osm_id"], "point", tags, x=h["x"], y=h["y"])
+
+    # reject rows — each violates exactly one mapping rule
+    add(900001, "linestring", {"highway": "residential"},  # road without name
+        line=[[0.0, 0.0], [1.0, 1.0]], x0=0.0, y0=0.0, x1=1.0, y1=1.0)
+    add(900002, "linestring", {"highway": "pedestrian", "name": "Plaza", "area": "yes"},
+        line=[[0.0, 0.0], [1.0, 1.0]], x0=0.0, y0=0.0, x1=1.0, y1=1.0)  # area=yes
+    add(900003, "polygon", {"landuse": "park", "name": "No Building Tag"},
+        rings=[[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]],
+        xmin=0.0, ymin=0.0, xmax=1.0, ymax=1.0, centroid_x=0.5, centroid_y=0.5)
+    add(900004, "point", {"amenity": "bench"}, x=5.0, y=5.0)  # no housenumber
+    return rows
+
+
 def build_media(n: int = 60, seed: int = 42):
     """Multimodal fixture: opaque binary payloads + typed metadata. Payload
     bytes are seeded-deterministic (hash-expanded), no real codecs."""
@@ -326,6 +390,16 @@ def build_queries():
     rev = []
     # reverse queries at known house positions (filled in by write_fixtures
     # with actual world coordinates)
+    unstructured = [
+        dict(query_id=1, search_term="Georgenstraße 34, 92224 Amberg",
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=10),
+        dict(query_id=2, search_term="Hauptstraße 5, 95505 Dickenreuth",
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=10),
+        dict(query_id=3, search_term="Main Street",  # no parse → whole term as road
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=20),
+        dict(query_id=4, search_term="complete gibberish nowhere",
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=10),
+    ]
     predict = [
         dict(query_id=1, input="Dickenr"),
         dict(query_id=2, input="Georgenstr"),
@@ -333,7 +407,7 @@ def build_queries():
         dict(query_id=4, input="Mian"),          # transposition of Main
         dict(query_id=5, input="Xxqqzz"),        # no match
     ]
-    return fwd, rev, predict
+    return fwd, rev, predict, unstructured
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +469,9 @@ def write_fixtures(out_dir: str = FIXTURE_DIR, n_streets_per_city: int = 6,
             for r in world["osm_roads"]], f"{out_dir}/osm_roads.parquet")
     _write(world["osm_house_number"], f"{out_dir}/osm_house_number.parquet")
 
+    _write(build_raw_elements(world, admin_polys, postal_polys, bld_polys),
+           f"{out_dir}/osm_raw_elements.parquet")
+
     _write(build_oa_rows(seed), f"{out_dir}/oa_raw.parquet")
     with open(f"{out_dir}/oa_license.txt", "wb") as fp:
         fp.write(OA_LICENSE_TEXT)
@@ -410,7 +487,12 @@ def write_fixtures(out_dir: str = FIXTURE_DIR, n_streets_per_city: int = 6,
                              ("payload", pa.binary()), ("width", pa.int64()),
                              ("sample_rate", pa.int64()), ("n_frames", pa.int64())]))
 
-    fwd, rev, predict = build_queries()
+    fwd, rev, predict, unstructured = build_queries()
+    _write(unstructured, f"{out_dir}/unstructured_queries.parquet",
+           schema=pa.schema([("query_id", pa.int64()), ("search_term", pa.string()),
+                             ("country", pa.string()), ("center_lat", pa.float64()),
+                             ("center_lon", pa.float64()), ("radius", pa.int64()),
+                             ("limit", pa.int64())]))
     # reverse queries derived from actual house positions (stable offsets)
     houses = world["osm_house_number"]
     for qi, idx in enumerate([3, 77, 400, 911, 1500]):

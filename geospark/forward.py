@@ -87,6 +87,34 @@ def _country_filter_col(spark, tables: GeocoderTables, q: DataFrame):
     return _inside
 
 
+def split_address_cols(df: DataFrame, term_col: str = "search_term") -> DataFrame:
+    """The libpostal /split stage (bin/postal_service.py:39-65) replaced by a
+    JVM regexp splitter with the reference's documented fallback: when the
+    term doesn't parse, the WHOLE string becomes the road
+    (osmgeocoder/forward.py:47-49). Parsed shape: 'road hn, pc city'."""
+    from .mine import ADDR_RE
+
+    anchored = "^" + ADDR_RE + "$"
+    parsed = F.regexp_extract(F.col(term_col), anchored, 1)
+    return df.withColumn(
+        "road", F.when(parsed != "", parsed).otherwise(F.col(term_col))
+    ).withColumn(
+        "house_number", F.nullif(F.regexp_extract(F.col(term_col), anchored, 2), F.lit(""))
+    ).withColumn(
+        "postcode", F.nullif(F.regexp_extract(F.col(term_col), anchored, 3), F.lit(""))
+    ).withColumn(
+        "city", F.nullif(F.regexp_extract(F.col(term_col), anchored, 4), F.lit(""))
+    )
+
+
+def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFrame) -> DataFrame:
+    """Geocoder.forward(address, ...) (osmgeocoder/geocoder.py:46-76):
+    unstructured search strings split then geocoded. ``queries``:
+    (query_id, search_term, country, center_lat, center_lon, radius, limit).
+    """
+    return forward_geocode(spark, tables, split_address_cols(queries))
+
+
 def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFrame:
     q = queries.filter(F.col("road").isNotNull()).select(
         "query_id",

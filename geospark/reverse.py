@@ -37,6 +37,10 @@ RESULT_COLS = ["query_id", "house", "road", "house_number", "postcode", "city",
 
 
 def covering_cells_col(x_col, y_col, radius_col, res: int = HOUSE_CELL_RES):
+    """Array of Morton cell ids covering the radius window (Arrow kernel) —
+    kept for cell_id-keyed consumers; the reverse join itself uses the pure
+    JVM (ix, iy) grid expansion below."""
+
     @F.pandas_udf(ArrayType(LongType()))
     def _cov(x: pd.Series, y: pd.Series, r: pd.Series) -> pd.Series:
         xs = x.to_numpy(np.float64)
@@ -47,6 +51,21 @@ def covering_cells_col(x_col, y_col, radius_col, res: int = HOUSE_CELL_RES):
         )
 
     return _cov(x_col, y_col, radius_col)
+
+
+def _grid_expand(q: DataFrame, res: int = HOUSE_CELL_RES) -> DataFrame:
+    """k-ring expansion as pure JVM expressions: one row per (ix, iy) grid
+    cell covering [qx±radius, qy±radius] (usually ≤4 rows per query —
+    sequence + two explodes, fully inside whole-stage codegen)."""
+    from .etl import grid_cols
+
+    x0, y0 = grid_cols(F.col("qx") - F.col("radius"), F.col("qy") - F.col("radius"), res)
+    x1, y1 = grid_cols(F.col("qx") + F.col("radius"), F.col("qy") + F.col("radius"), res)
+    return (q.withColumn("__ix0", x0).withColumn("__ix1", x1)
+            .withColumn("__iy0", y0).withColumn("__iy1", y1)
+            .withColumn("ix", F.explode(F.sequence(F.col("__ix0"), F.col("__ix1"))))
+            .withColumn("iy", F.explode(F.sequence(F.col("__iy0"), F.col("__iy1"))))
+            .drop("__ix0", "__ix1", "__iy0", "__iy1"))
 
 
 def _admin_cols(spark, tables: GeocoderTables, df: DataFrame) -> DataFrame:
@@ -87,10 +106,9 @@ def reverse_geocode(spark, tables: GeocoderTables, queries: DataFrame,
 
 
 def _candidates(q: DataFrame, houses: DataFrame) -> DataFrame:
-    """cell expansion + equi-join + exact residual distance filter."""
-    qc = q.withColumn("cell_id", F.explode(covering_cells_col(
-        F.col("qx"), F.col("qy"), F.col("radius"))))
-    cand = houses.join(F.broadcast(qc), "cell_id", "inner")
+    """grid expansion + equi-join + exact residual distance filter."""
+    qc = _grid_expand(q)
+    cand = houses.join(F.broadcast(qc), ["ix", "iy"], "inner")
     # 004:85-87 — the 1-D ST_X band prefilter, then exact ST_DWithin
     cand = cand.filter(
         (F.col("x") >= F.col("qx") - F.col("radius"))

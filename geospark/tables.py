@@ -17,19 +17,39 @@ from . import spatial, text
 
 
 def trigram_tokens_col(col):
-    """Column: array of pg_trgm trigrams of a string column (Arrow-batched)."""
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def _tg(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: sorted(text.trigrams(v)) if v is not None else [])
-
-    return _tg(col)
+    """Column: array of distinct pg_trgm trigrams of a string column,
+    built ENTIRELY from JVM higher-order functions (regexp word split,
+    two-space/one-space padding, 3-gram slicing) so the hot path stays inside
+    whole-stage codegen — no Python. Semantics identical to text.trigrams
+    (unit-tested + enforced by the DuckDB oracles)."""
+    words = F.regexp_extract_all(F.lower(col), F.lit(text._WORD_RE.pattern), F.lit(0))
+    padded = F.transform(words, lambda w: F.concat(F.lit("  "), w, F.lit(" ")))
+    grams = F.transform(
+        padded,
+        lambda p: F.transform(
+            F.sequence(F.lit(1), F.length(p) - F.lit(2)),
+            lambda i: p.substr(i, F.lit(3)),
+        ),
+    )
+    return F.array_distinct(F.flatten(grams))
 
 
 def pair_similarity_col(a_col, b_col):
-    """Column: pairwise pg_trgm similarity of two string columns — used for
-    the residual ``%`` predicates on already-pruned candidate pairs
-    (house_number/postcode/city terms, 003-forward_geocoding.sql:58,261,347)."""
+    """Column: pairwise pg_trgm similarity of two string columns — the
+    residual ``%`` predicates on already-pruned candidate pairs
+    (house_number/postcode/city terms, 003-forward_geocoding.sql:58,261,347).
+    Pure JVM: shared/(|A|+|B|-shared) over trigram arrays."""
+    ta = trigram_tokens_col(a_col)
+    tb = trigram_tokens_col(b_col)
+    shared = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - shared
+    return F.when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0)) \
+        .otherwise(shared.cast("double") / union)
+
+
+def pair_similarity_udf_col(a_col, b_col):
+    """Arrow-batched kernel variant of pair_similarity_col (kept as the
+    reference implementation; tests assert JVM == kernel)."""
 
     @F.pandas_udf("double")
     def _sim(a: pd.Series, b: pd.Series) -> pd.Series:

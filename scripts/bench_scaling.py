@@ -1,0 +1,127 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule: >=0.8 from N to 4N
+executors, evidenced here as local[8] vs local[32] on the same input).
+
+Runs the headline geocode-join page pipeline (extract -> mine -> forward +
+reverse geocode joins) at both parallelism levels in separate JVMs, measures
+throughput AFTER the reference tables are built (the build is a one-off,
+snapshot-committed cost), and writes BENCH/BASELINE.md + BENCH/scaling.json.
+
+Usage:
+    python scripts/bench_scaling.py            # orchestrator
+    python scripts/bench_scaling.py worker N   # internal: one measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+BENCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
+SF = float(os.environ.get("GEOSPARK_SCALING_SF", "0.25"))
+N_SMALL = int(os.environ.get("GEOSPARK_SCALING_N", "8"))
+N_BIG = 4 * N_SMALL
+
+
+def worker(cpus: int) -> None:
+    from geospark.session import get_spark
+    from geospark import benchgen, etl, mine
+    from geospark.tables import GeocoderTables
+
+    # shuffle parallelism follows core count (as a real cluster deployment
+    # would size spark.sql.shuffle.partitions to executors x cores)
+    spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus * 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    world_dir = benchgen.ensure_bench_world(BENCH_ROOT, SF)
+
+    osm = etl.load_osm_tables(spark, world_dir)
+    struct = {k: v.cache() for k, v in etl.build_struct_tables(spark, osm).items()}
+    for v in struct.values():
+        v.count()
+    tables = GeocoderTables(spark, struct, osm["osm_admin"])
+    tables.houses.count(), tables.street_city.count(), tables.street_name_tokens.count()
+
+    pages = spark.read.parquet(f"{world_dir}/webpages.parquet").repartition(cpus * 2).cache()
+    n_pages = pages.count()
+    # warm Python workers / codegen once on a small slice
+    mine.geocode_pages(spark, tables, pages.limit(512)).count()
+
+    best, n_out = None, 0
+    for _ in range(2):  # best-of-2: drop residual warmup noise
+        t0 = time.time()
+        n_out = mine.geocode_pages(spark, tables, pages).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print(json.dumps({"cpus": cpus, "pages": n_pages, "rows_out": n_out,
+                      "seconds": round(best, 3),
+                      "pages_per_sec": round(n_pages / best, 1)}))
+
+
+def main() -> None:
+    results = {}
+    for cpus in (N_SMALL, N_BIG):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(BENCH_ROOT), check=True)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+
+    r8, r32 = results[N_SMALL], results[N_BIG]
+    speedup = r8["seconds"] / r32["seconds"]
+    efficiency = speedup / (N_BIG / N_SMALL)
+    summary = {
+        "job": "geocode_pages (extract -> mine -> forward+reverse geocode join)",
+        "sf": SF,
+        "pages": r8["pages"],
+        f"local[{N_SMALL}]": r8,
+        f"local[{N_BIG}]": r32,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    with open(os.path.join(BENCH_ROOT, "scaling.json"), "w") as fp:
+        json.dump(summary, fp, indent=1)
+    with open(os.path.join(BENCH_ROOT, "BASELINE.md"), "w") as fp:
+        fp.write(f"""# BENCH/BASELINE — measured numbers for this engine
+
+## Scaling efficiency (north_rule: >=0.8 from N to 4N executors)
+
+Evidenced on the 32-core sandbox host as the same job at two parallelism
+levels (no real cluster available): `local[{N_SMALL}]` vs `local[{N_BIG}]`, identical
+input (sf={SF} synthetic world, {r8['pages']} web pages), measuring the
+geocode-join page pipeline after the one-off reference-table build.
+
+| config | seconds | pages/sec |
+|---|---|---|
+| local[{N_SMALL}] | {r8['seconds']} | {r8['pages_per_sec']} |
+| local[{N_BIG}] | {r32['seconds']} | {r32['pages_per_sec']} |
+
+**speedup {summary['speedup']}x over a 4x core increase → scaling efficiency
+{summary['scaling_efficiency']}** (target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}).
+
+## Headline throughput
+
+Geocode-join throughput (pages/sec over the web-page table, the
+BASELINE.json metric): **{r32['pages_per_sec']} pages/sec** at local[{N_BIG}],
+sf={SF}. Reference publishes no query-throughput numbers (BASELINE.md);
+its build-pipeline numbers are in the repo-root BASELINE.md.
+
+Per-query timings for the full suite are in BENCH_r*.json (driver-recorded,
+`python bench.py`).
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(int(sys.argv[2]))
+    else:
+        main()

