@@ -697,7 +697,8 @@ FROM oa_house
 ORACLES["oa_license"] = f"""
 WITH lic AS (SELECT * FROM (VALUES
     ('us/il/test', 'https://example.org/data', 'CC-BY-4.0', 'Example County GIS'),
-    ('us/ny/rivertown', 'https://example.org/ny', 'Public Domain', NULL)
+    ('us/ny/rivertown', 'https://example.org/ny', 'Public Domain', NULL),
+    ('de/by/lakeside', 'https://example.org/by', 'DL-DE-BY-2.0', 'Bayern GIS')
 ) t(source, website, license, attribution))
 SELECT sha256('license' || source) AS id, website, license, attribution, source FROM lic
 """
@@ -1100,3 +1101,52 @@ ORACLES["forward_unstructured"] = forward_oracle_sql(_unstructured_fq_cte())
 
 QUERIES["osm_source_filter"] = q_osm_source_filter
 QUERIES["forward_unstructured"] = q_forward_unstructured
+
+
+def q_oa_city_final(spark, sf_dir):
+    """optimize/017 + 018: empty OA city names filled from the admin_level-8
+    polygon containing the multipoint centroid of their houses, then the
+    manual per-source fixes. (empty marker ' ' — the importer's
+    empty-field encoding; see oa.update_city_names_from_osm docstring)."""
+    st = geo_state(spark)
+    filled = oa.update_city_names_from_osm(spark, st["oa"], st["osm"]["osm_admin"],
+                                           empty_values=(" ",))
+    final = oa.manual_city_name_updates({**st["oa"], "oa_city": filled})
+    return final.select("id", "city", "district", "region", "postcode", "license_id")
+
+
+ORACLES["oa_city_final"] = f"""
+WITH {OA_CTES.lstrip()},
+adm AS (SELECT * FROM {_pq('osm_admin')}),
+ae AS (SELECT * FROM {_pq('osm_admin_edges')}),
+cent AS (
+    SELECT c.id AS cid, avg(h.x) AS cx, avg(h.y) AS cy
+    FROM oa_city c
+    JOIN oa_street s ON s.city_id = c.id
+    JOIN oa_house h ON h.street_id = s.id
+    WHERE c.city = ' '
+    GROUP BY c.id
+),
+fill AS (
+    SELECT t.cid, arg_min(a.name, a.osm_id) AS new_city
+    FROM cent t, adm a
+    WHERE a.admin_level = 8 AND {_pip('ae', 'a.osm_id', 't.cx', 't.cy')}
+    GROUP BY t.cid
+),
+manual AS (SELECT * FROM (VALUES
+    ('ro/bucharest', 'Bucharest'), ('at/city_of_vienna', 'Wien'),
+    ('de/nw/city_of_cologne', 'Köln')) t(source, fixed_city)),
+lic AS (SELECT * FROM (VALUES
+    ('us/il/test'), ('us/ny/rivertown'), ('de/by/lakeside')) t(source))
+SELECT c.id,
+       coalesce(m.fixed_city, f.new_city, c.city) AS city,
+       c.district, c.region, c.postcode, c.license_id
+FROM oa_city c
+LEFT JOIN fill f ON f.cid = c.id
+LEFT JOIN (
+    SELECT sha256('license' || l.source) AS lid, m.fixed_city
+    FROM lic l JOIN manual m ON m.source = l.source
+) m ON m.lid = c.license_id
+"""
+
+QUERIES["oa_city_final"] = q_oa_city_final

@@ -225,6 +225,16 @@ def build_oa_rows(seed: int = 42):
                          number="1", street="oak avenue", unit="", city=cname,
                          district="", region=region, postcode=pc, source_file=src))
         idx += 1
+    # a source with EMPTY city names whose houses sit inside the fixture's
+    # Lakeside admin_level-8 polygon → exercises optimize/017 backfill
+    lk_lon, lk_lat = merc_to_lonlat(np.array([1187000.0]), np.array([6075000.0]))
+    for i in range(8):
+        rows.append(dict(row_idx=idx, lon=str(round(float(lk_lon[0]) + i * 0.0002, 7)),
+                         lat=str(round(float(lk_lat[0]), 7)),
+                         number=str(i + 1), street="seefeldweg", unit="", city="",
+                         district="", region="by", postcode="81669",
+                         source_file="de/by/lakeside.csv"))
+        idx += 1
     return rows
 
 
@@ -242,6 +252,11 @@ us/ny/rivertown
 Website: https://example.org/ny
 License: Public Domain
 Required attribution: Yes
+
+de/by/lakeside
+Website: https://example.org/by
+License: DL-DE-BY-2.0
+Required attribution: Bayern GIS
 
 """
 

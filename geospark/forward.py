@@ -177,8 +177,18 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
     cand = cand.filter(F.col("country").isNull()
                        | inside_udf(F.col("x"), F.col("y"), F.col("country")))
 
-    # J3: admin_level 4/6 left PIP joins (before ranking — duplicates count
-    # toward LIMIT exactly as in the reference)
+    # pre-rank houses to `limit` per query BEFORE the admin PIP join: the
+    # PIP left-join only duplicates rows of a house (it never reorders across
+    # houses), so the final top-`limit` rows can only come from the
+    # top-`limit` houses in this pre-admin ordering — provably identical
+    # results while bounding the PIP/window input to limit×queries rows
+    pre_w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(), F.col("id").asc())
+    cand = cand.withColumn("__pre", F.row_number().over(pre_w)) \
+        .filter(F.col("__pre") <= F.col("limit")).drop("__pre")
+
+    # J3: admin_level 4/6 left PIP joins (before the final ranking —
+    # duplicates count toward LIMIT exactly as in the reference)
     cand = _admin_cols(spark, tables, cand)
 
     # O1 ranking: distance ASC NULLS LAST (§7.4.2), trigram distance, stable

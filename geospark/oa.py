@@ -151,3 +151,66 @@ def oa_address_data(oa: dict) -> DataFrame:
         .join(c.select(F.col("id").alias("city_id"), "postcode", "city"), "city_id")
         .select(h["id"], "name", "street", "housenumber", "postcode", "city", "x", "y", "source")
     )
+
+
+def update_city_names_from_osm(spark, oa: dict, admin: DataFrame,
+                               empty_values: tuple = ("",)) -> DataFrame:
+    """optimize/017-update_city_names_from_osm.sql: for OA cities with an
+    empty name, take the multipoint centroid of all their house locations
+    (ST_Centroid(ST_Collect(array_agg(...))) = coordinate mean, A5/F11) and
+    fill the name from the containing admin_level-8 polygon.
+
+    Returns the updated oa_city DataFrame. The reference's row loop applies
+    overlapping-polygon matches in arbitrary order (last wins) — we take the
+    min-osm_id polygon (§7.4.3). NOTE a reference quirk: its importer stores
+    empty city fields as a single space (import…:445-449) while 017 tests
+    ``c.city = ''`` — so on importer-written data the reference UPDATE never
+    fires; pass ``empty_values=(' ',)`` for the arguably-intended behavior
+    (documented deviation; default matches the SQL text exactly)."""
+    from . import spatial
+
+    oa_city, oa_street, oa_house = oa["oa_city"], oa["oa_street"], oa["oa_house"]
+    centroids = (
+        oa_city.filter(F.col("city").isin(list(empty_values)))
+        .select(F.col("id").alias("cid"))
+        .join(oa_street.select(F.col("city_id").alias("cid"), F.col("id").alias("sid")), "cid")
+        .join(oa_house.select(F.col("street_id").alias("sid"), "x", "y"), "sid")
+        .groupBy("cid").agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+    )
+    rows = admin.filter(F.col("admin_level") == 8).select("osm_id", "name", "rings").collect()
+    prep = spatial.prepare_from_rows(rows)
+    filled = centroids.withColumn(
+        "new_city", F.get(spatial.pip_match_col(spark, prep, "cx", "cy"), 0)
+    ).filter(F.col("new_city").isNotNull()).select("cid", "new_city")
+    return (
+        oa_city.join(F.broadcast(filled), oa_city["id"] == filled["cid"], "left")
+        .withColumn("city", F.coalesce("new_city", "city"))
+        .drop("cid", "new_city")
+    )
+
+
+# optimize/018-manual_city_name_updates.sql: hand-maintained fixes keyed on
+# the license source of known-broken OpenAddresses exports
+MANUAL_CITY_NAMES = {
+    "ro/bucharest": "Bucharest",
+    "at/city_of_vienna": "Wien",
+    "de/nw/city_of_cologne": "Köln",
+}
+
+
+def manual_city_name_updates(oa: dict, mapping: dict | None = None) -> DataFrame:
+    """Returns oa_city with the per-license-source manual name fixes applied
+    (UPDATE ... WHERE license_id = (SELECT id FROM oa_license WHERE source=…))."""
+    mapping = MANUAL_CITY_NAMES if mapping is None else mapping
+    fixes = [(src, name) for src, name in sorted(mapping.items())]
+    oa_city, oa_license = oa["oa_city"], oa["oa_license"]
+    if not fixes:
+        return oa_city
+    fix_df = oa_license.sparkSession.createDataFrame(fixes, "source string, fixed_city string")
+    lic = oa_license.select(F.col("id").alias("__lid"), "source").join(F.broadcast(fix_df), "source")
+    return (
+        oa_city.join(F.broadcast(lic.select("__lid", "fixed_city")),
+                     oa_city["license_id"] == F.col("__lid"), "left")
+        .withColumn("city", F.coalesce("fixed_city", "city"))
+        .drop("__lid", "fixed_city")
+    )

@@ -124,6 +124,12 @@ def _candidates(q: DataFrame, houses: DataFrame) -> DataFrame:
 def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
     cand = _candidates(q, tables.houses)
     cand = cand.join(F.broadcast(tables.street_city), "street_id", "inner")
+    # pre-rank to `limit` houses per query before the PIP join (duplication
+    # by overlapping admin polygons never promotes a lower-ranked house, so
+    # results are identical — see forward.py for the argument)
+    pre_w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    cand = cand.withColumn("__pre", F.row_number().over(pre_w)) \
+        .filter(F.col("__pre") <= F.col("limit")).drop("__pre")
     cand = _admin_cols(spark, tables, cand)
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(),  # 004:88 ORDER BY ST_Distance

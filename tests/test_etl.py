@@ -62,14 +62,15 @@ def test_oa_importer_semantics(spark, geo):
     postcode uppercased, empty fields stored as single space, name NULL."""
     oa = geo["oa"]
     cities = {r.city for r in oa["oa_city"].collect()}
-    assert cities == {"Springfield", "Rivertown"}
+    # ' ' is the empty-named Lakeside source (COPY writes ' ' for empty)
+    assert cities == {"Springfield", "Rivertown", " "}
     streets = {r.street for r in oa["oa_street"].collect()}
-    assert streets == {"Oak Avenue", "Elm Street", "Maple Drive"}
+    assert streets == {"Oak Avenue", "Elm Street", "Maple Drive", "Seefeldweg"}
     units = {r.unit for r in oa["oa_street"].collect()}
     assert units == {" "}  # empty → single space (COPY writer bug-for-bug)
     houses = oa["oa_house"].collect()
     assert all(r.name is None for r in houses)
-    assert len(houses) == 90  # 2×3×15: duplicate number '1' deduped last-wins
+    assert len(houses) == 98  # 2×3×15 + 8 (dup number '1' deduped last-wins)
 
 
 def test_oa_house_last_wins(spark, geo):
@@ -104,3 +105,41 @@ def test_street_geometry_backfill(geo):
     assert with_geom >= 48  # every city street matched its road line
     # rural Feldweg street has no road → NULL geometry
     assert s.filter("name = 'Feldweg' and geometry is not null").count() == 0
+
+
+def test_oa_city_name_backfill_017(spark, geo):
+    """optimize/017: the empty-named Lakeside OA source gets its city name
+    from the admin_level-8 polygon containing its houses' centroid."""
+    from geospark import oa as oamod
+
+    filled = oamod.update_city_names_from_osm(
+        spark, geo["oa"], geo["osm"]["osm_admin"], empty_values=(" ",))
+    names = {r.postcode: r.city for r in filled.collect()}
+    assert names["81669"] == "Lakeside"
+    assert names["62704"] == "Springfield"  # untouched
+
+
+def test_oa_manual_updates_018(spark, geo):
+    from geospark import oa as oamod
+
+    out = oamod.manual_city_name_updates(
+        geo["oa"], mapping={"de/by/lakeside": "München"})
+    names = {r.postcode: r.city for r in out.collect()}
+    assert names["81669"] == "München"
+    assert names["10501"] == "Rivertown"
+
+
+def test_imposm_source_filters(spark, geo):
+    """S1/S2: the mapping filters reproduce the 5 OSM tables exactly from
+    raw tagged elements, and drop every reject row."""
+    from geospark import sources
+
+    raw = spark.read.parquet("fixtures/osm_raw_elements.parquet")
+    t = sources.import_osm(raw)
+    for name in ["osm_admin", "osm_postal_code", "osm_roads",
+                 "osm_buildings", "osm_house_number"]:
+        want = sorted(r.osm_id for r in geo["osm"][name].select("osm_id").collect())
+        got = sorted(r.osm_id for r in t[name].select("osm_id").collect())
+        assert got == want, name
+    all_ids = {r.osm_id for n in t for r in t[n].select("osm_id").collect()}
+    assert not ({900001, 900002, 900003, 900004} & all_ids)  # rejects dropped
