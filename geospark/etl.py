@@ -245,17 +245,23 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     )
 
     # --- 014/015: cleanup + spatial clustering columns ----------------------
+    from .tables import trigram_tokens_col
+
     gx, gy = grid_cols(F.col("x"), F.col("y"))
     struct_house = houses.select(
         "id", "osm_id", "house_number", "x", "y", "street_id",
     ).withColumn("cell_id", cell_col(F.col("x"), F.col("y"))) \
      .withColumn("ix", gx).withColumn("iy", gy) \
-     .withColumn("geohash", geohash_col(F.col("x"), F.col("y")))
+     .withColumn("geohash", geohash_col(F.col("x"), F.col("y"))) \
+     .withColumn("hn_t", trigram_tokens_col(F.col("house_number")))
+    # ^ hn_t: the house-number GIN trigram index materialized as a column
+    # (X3) — the forward residual % is then array_intersect on ready arrays
     # CLUSTER ... USING geohash (optimize/015) + the importer's 360-way
     # range partitioning on ST_X (X1) -> range-partition on the Morton cell id
     # (a space-filling curve: contiguous id ranges are spatially local) and
     # sort within partitions for parquet min/max row-group skipping (X2)
-    struct_house = struct_house.repartitionByRange(8, "cell_id") \
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    struct_house = struct_house.repartitionByRange(n_parts, "cell_id") \
         .sortWithinPartitions("cell_id", "geohash")
 
     return dict(struct_house=struct_house, struct_streets=streets, struct_cities=cities)

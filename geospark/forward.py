@@ -12,8 +12,9 @@ the country branch (003:143-155), re-expressed per the north_star as a
      The exploded token table IS the inverted index, shuffled once on the
      trigram key; skew on ubiquitous trigrams is handled by AQE skew-join.
   2. residual ``%`` predicates on the already-pruned candidates
-     (house_number/postcode/city, at most a few rows per query x street)
-     are evaluated pairwise by an Arrow-batched kernel.
+     (house_number/postcode/city) are pure JVM array_intersect over trigram
+     arrays PRECOMPUTED per side (GIN-index-as-data; never rebuilt inside
+     join conditions).
   3. the country restriction prefetches ONE polygon per distinct country
      term driver-side (R1's loop-invariant hoisting -> broadcast scalar)
      and applies vectorized PIP.
@@ -35,7 +36,8 @@ from pyspark.sql.types import BooleanType
 
 from . import proj, spatial, text
 from .reverse import ZERO_UUID, _admin_cols
-from .tables import GeocoderTables, pair_similarity_col, tokenize_names
+from .tables import (GeocoderTables, pair_similarity_col, sim_from_arrays,
+                     tokenize_names, trigram_tokens_col)
 
 RESULT_COLS = ["query_id", "house", "road", "house_number", "postcode", "city",
                "county", "state", "x", "y", "distance", "trgm_dist", "license_id"]
@@ -128,13 +130,21 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
         F.col("radius").cast("double").alias("radius"),
         F.col("limit").cast("int").alias("limit"),
     )
+    # precompute query-term trigram arrays ONCE per query row — the residual
+    # % predicates below are then array_intersect over ready arrays (never
+    # rebuild trigrams inside a join condition: that re-runs regexp+transform
+    # per probed PAIR — measured as a ~100x slowdown)
+    q = q.withColumn("q_hn_t", trigram_tokens_col(F.col("q_hn"))) \
+         .withColumn("q_pc_t", trigram_tokens_col(F.col("q_postcode"))) \
+         .withColumn("q_city_t", trigram_tokens_col(F.col("q_city")))
 
     # J8: street-name candidates per distinct road term via the tokenized
     # trigram join; then fan back out to queries and street rows
     cand_names = _street_candidates(tables, q.select("q_road").distinct())
     street_dim = tables.street_city.select(
         "street_id", F.col("road").alias("s_road"),
-        F.col("city_name"), F.col("postcode").alias("c_postcode"))
+        F.col("city_name"), F.col("postcode").alias("c_postcode"),
+        "city_t", "pc_t")
     cand = (
         q.join(cand_names, "q_road", "inner")
         .join(street_dim, F.col("road") == F.col("s_road"), "inner")
@@ -147,20 +157,22 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
     cand = cand.withColumn(
         "__branch_ok",
         F.when(F.col("q_postcode").isNotNull(),
-               pair_similarity_col(F.col("c_postcode"), F.col("q_postcode")) >= text.TRGM_SIM_THRESHOLD)
+               sim_from_arrays(F.col("pc_t"), F.col("q_pc_t")) >= text.TRGM_SIM_THRESHOLD)
          .when(F.col("q_city").isNotNull(),
-               pair_similarity_col(F.col("city_name"), F.col("q_city")) >= text.TRGM_SIM_THRESHOLD)
+               sim_from_arrays(F.col("city_t"), F.col("q_city_t")) >= text.TRGM_SIM_THRESHOLD)
          .otherwise(F.lit(True)),
-    ).filter("__branch_ok").drop("__branch_ok")
+    ).filter("__branch_ok").drop("__branch_ok", "city_t", "pc_t", "q_pc_t", "q_city_t")
 
-    # J2: join houses on street_id — the big side; candidates broadcast
-    houses = tables.houses.select("id", "osm_id", "house_number", "x", "y", "street_id")
+    # J2: join houses on street_id — the big side; candidates broadcast.
+    # hn_t is the house-number trigram-index column materialized by the ETL.
+    houses = tables.houses.select("id", "osm_id", "house_number", "hn_t", "x", "y", "street_id")
     cand = houses.join(F.broadcast(cand), "street_id", "inner")
 
-    # residual % on house_number (003:58)
+    # residual % on house_number (003:58) — array_intersect on ready arrays
     cand = cand.filter(
         F.col("q_hn").isNull()
-        | (pair_similarity_col(F.col("house_number"), F.col("q_hn")) >= text.TRGM_SIM_THRESHOLD))
+        | (sim_from_arrays(F.col("hn_t"), F.col("q_hn_t")) >= text.TRGM_SIM_THRESHOLD)
+    ).drop("hn_t", "q_hn_t")
 
     # P2: radius filter around center; distance NULL when center is NULL
     cand = cand.withColumn(

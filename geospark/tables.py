@@ -34,6 +34,17 @@ def trigram_tokens_col(col):
     return F.array_distinct(F.flatten(grams))
 
 
+def sim_from_arrays(ta, tb):
+    """pg_trgm similarity from PRECOMPUTED trigram-array columns. The arrays
+    must be materialized per side before a join (the GIN-index-as-data
+    pattern): evaluating array construction inside a join condition would
+    re-run regexp+transforms per probed PAIR — observed as a 100x slowdown."""
+    shared = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - shared
+    return F.when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0)) \
+        .otherwise(shared.cast("double") / union)
+
+
 def pair_similarity_col(a_col, b_col):
     """Column: pairwise pg_trgm similarity of two string columns — the
     residual ``%`` predicates on already-pruned candidate pairs
@@ -78,7 +89,9 @@ class GeocoderTables:
         self.oa = oa
         self.wordlist = wordlist
 
-        # J1 pre-joined: street -> city (inner, as in every geocode function)
+        # J1 pre-joined: street -> city (inner, as in every geocode function);
+        # city/postcode trigram arrays materialized once (GIN-as-data) so the
+        # residual % predicates only do array_intersect at join time
         self.street_city = (
             self.streets.select(F.col("id").alias("street_id"), F.col("name").alias("road"),
                                 F.col("city_id"))
@@ -87,6 +100,8 @@ class GeocoderTables:
                                                  F.col("postcode"))),
                   F.col("city_id") == F.col("__cid"), "inner")
             .drop("__cid")
+            .withColumn("city_t", trigram_tokens_col(F.col("city_name")))
+            .withColumn("pc_t", trigram_tokens_col(F.col("postcode")))
         )
 
         # X3: trigram inverted index over distinct street names
