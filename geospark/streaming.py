@@ -1,0 +1,55 @@
+"""Structured Streaming wrappers.
+
+The reference is strictly batch (SURVEY.md §2.9: no watermarks/windows/state
+anywhere), so these are engine EXTENSIONS, not parity items: the same
+geocode-join pipeline running incrementally over arriving page files, and a
+watermarked tumbling-window aggregation for event streams. Both use the
+batch operators unchanged via foreachBatch — one code path for batch and
+streaming (the Spark-idiomatic shape for this engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_geocode_pages(spark, tables, input_dir: str, output_dir: str,
+                         checkpoint_dir: str, schema=None, available_now: bool = True):
+    """Incremental geocode-join: watch ``input_dir`` for page parquet files,
+    geocode each micro-batch with the batch pipeline, append results to
+    ``output_dir``. Exactly-once via the streaming checkpoint + append sink.
+
+    Returns the StreamingQuery (await/stop is the caller's job)."""
+    from .mine import geocode_pages
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    pages = reader.parquet(input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = geocode_pages(spark, tables, batch_df)
+        out.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("append").parquet(output_dir)
+
+    writer = pages.writeStream.foreachBatch(_process) \
+        .option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_event_windows(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window per-type aggregation over a streaming
+    events DataFrame (ts, event_type, value): late rows beyond the watermark
+    are dropped; emits (window, event_type, n, value_sum)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event time
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n", "value_sum")
+    )
