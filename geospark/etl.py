@@ -260,8 +260,12 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     # range partitioning on ST_X (X1) -> range-partition on the Morton cell id
     # (a space-filling curve: contiguous id ranges are spatially local) and
     # sort within partitions for parquet min/max row-group skipping (X2)
-    n_parts = max(8, spark.sparkContext.defaultParallelism)
-    struct_house = struct_house.repartitionByRange(n_parts, "cell_id") \
+    # two-key range partitioning: primary = Morton cell (spatial locality,
+    # row-group skipping), secondary = id, which SPLITS mega-cells across
+    # partitions instead of serializing ~45% of all rows into one task
+    # (the fixture's Bigstadt cell is exactly that skew case)
+    n_parts = max(16, 2 * spark.sparkContext.defaultParallelism)
+    struct_house = struct_house.repartitionByRange(n_parts, "cell_id", "id") \
         .sortWithinPartitions("cell_id", "geohash")
 
     return dict(struct_house=struct_house, struct_streets=streets, struct_cities=cities)

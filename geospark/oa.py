@@ -139,8 +139,9 @@ def build_oa_tables(spark: SparkSession, raw: DataFrame, license_text: bytes) ->
     oa_house = oa_house.withColumn("ix", gx).withColumn("iy", gy)
     # X1: the reference range-partitions oa_house 360 ways on ST_X and
     # clusters on geohash — here: range-partition by cell morton + sort
-    n_parts = max(8, spark.sparkContext.defaultParallelism)
-    oa_house = oa_house.repartitionByRange(n_parts, "cell_id").sortWithinPartitions("cell_id", "geohash")
+    n_parts = max(16, 2 * spark.sparkContext.defaultParallelism)
+    oa_house = oa_house.repartitionByRange(n_parts, "cell_id", "id") \
+        .sortWithinPartitions("cell_id", "geohash")
     return dict(oa_license=oa_license, oa_city=oa_city, oa_street=oa_street, oa_house=oa_house)
 
 
