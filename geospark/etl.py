@@ -22,7 +22,13 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType, Struc
 from . import cells as cell_mod
 from . import proj, spatial
 
-HOUSE_CELL_RES = 15  # ~1223 m cells; reverse-geocode radius default 100 m
+HOUSE_CELL_RES = 15  # ~1223 m cells; clustering/partition locality + skew tiling
+# the reverse-geocode grid JOIN runs at a finer resolution matched to the
+# query radii (default 100-150 m): res 18 -> ~153 m cells, so a radius window
+# spans <=3x3 cells and each cell holds ~1/64 of the houses a res-15 cell
+# would — the join pairs only near-by houses instead of everything within
+# ~1.2 km (measured 755 core-s -> ~25 core-s on the bench reverse join)
+GRID_JOIN_RES = 18
 
 
 def _id(*cols):
@@ -247,7 +253,7 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     # --- 014/015: cleanup + spatial clustering columns ----------------------
     from .tables import trigram_tokens_col
 
-    gx, gy = grid_cols(F.col("x"), F.col("y"))
+    gx, gy = grid_cols(F.col("x"), F.col("y"), GRID_JOIN_RES)
     struct_house = houses.select(
         "id", "osm_id", "house_number", "x", "y", "street_id",
     ).withColumn("cell_id", cell_col(F.col("x"), F.col("y"))) \

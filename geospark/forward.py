@@ -163,16 +163,72 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
          .otherwise(F.lit(True)),
     ).filter("__branch_ok").drop("__branch_ok", "city_t", "pc_t", "q_pc_t", "q_city_t")
 
-    # J2: join houses on street_id — the big side; candidates broadcast.
-    # hn_t is the house-number trigram-index column materialized by the ETL.
-    houses = tables.houses.select("id", "osm_id", "house_number", "hn_t", "x", "y", "street_id")
-    cand = houses.join(F.broadcast(cand), "street_id", "inner")
+    # J2: bring in the houses of each candidate street — the big side at
+    # design scale (10^12 houses). A naive fan-out join on street_id alone
+    # materializes |queries| x |houses-per-street| pairs (measured 33.5M rows
+    # at bench sf0.25 for 10k queries) before any hn filter can run, so the
+    # candidate build is split by query shape (the same batch-level dispatch
+    # the reference does in geocode_osm, R4), each shape with the join
+    # strategy that avoids the blow-up. ``cand`` feeds all three branches —
+    # persist it so the trigram-candidate subplan runs once, not thrice (at
+    # design scale the query batch is a materialized table anyway).
+    cand = cand.persist()
+    cand_qs = cand  # persisted (query x street) candidates — country collect below reuses it
+    houses = tables.houses.select(
+        F.col("id").alias("house_id"), "house_number", "x", "y", "street_id")
+    carry = [c for c in cand.columns
+             if c not in ("query_id", "q_road", "q_hn", "q_hn_t", "street_id")]
 
-    # residual % on house_number (003:58) — array_intersect on ready arrays
-    cand = cand.filter(
-        F.col("q_hn").isNull()
-        | (sim_from_arrays(F.col("hn_t"), F.col("q_hn_t")) >= text.TRGM_SIM_THRESHOLD)
-    ).drop("hn_t", "q_hn_t")
+    # (a) house_number present: the residual ``h.house_number % hn`` (003:58)
+    # as a set-similarity join — explode query hn trigrams, equi-join the
+    # ETL's inverted hn-token index on (street_id, trigram), count shared
+    # grams per (query, house), exact pg_trgm sim from the counts. Lossless:
+    # sim >= 0.3 > 0 requires a shared trigram. Non-matching pairs are never
+    # materialized; map-side partial agg keeps the shuffle at matched-pair
+    # size; AQE skew-join splits hot (street, gram) keys.
+    with_hn = cand.filter(F.col("q_hn").isNotNull())
+    q_tok = with_hn.select(
+        "query_id", "street_id", F.size("q_hn_t").alias("n_q"),
+        F.explode("q_hn_t").alias("trigram"))
+    pair_sim = (
+        q_tok.join(tables.house_hn_tokens, ["street_id", "trigram"])
+        .groupBy("query_id", "street_id", "house_id", "n_q", "n_hn")
+        .agg(F.count("*").alias("shared"))
+        .withColumn("sim", F.col("shared") / (F.col("n_q") + F.col("n_hn") - F.col("shared")))
+        .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
+        .select("query_id", "street_id", "house_id")
+    )
+    cand_hn = (
+        pair_sim
+        .join(with_hn.select("query_id", "street_id", *carry), ["query_id", "street_id"])
+        .join(houses.drop("street_id"), "house_id")
+    )
+
+    # (b) no house_number but a center radius or country restriction: the
+    # reference fan-out (every house on the matched street is a candidate)
+    # with the residual filters below; join strategy left to AQE (the
+    # candidate side is small per batch -> runtime broadcast, but never
+    # forced: at design scale a huge batch must shuffle instead).
+    fan = cand.filter(F.col("q_hn").isNull()
+                      & (F.col("cx").isNotNull() | F.col("country").isNotNull()))
+    cand_fan = houses.join(fan.select("query_id", "street_id", *carry), "street_id")
+
+    # (c) no house_number, no center, no country: within a street every house
+    # ties on (distance=NULL, trgm_dist), so the final top-`limit` rows can
+    # only come from the first `limit` houses per street by id — join the
+    # ETL's per-street rank prefix instead of the whole street (O(limit) rows
+    # per candidate street instead of O(street size)).
+    fast = cand.filter(F.col("q_hn").isNull() & F.col("cx").isNull()
+                       & F.col("country").isNull())
+    cand_fast = (
+        tables.houses_ranked.select(F.col("id").alias("house_id"),
+                                    "house_number", "x", "y", "street_id", "sr")
+        .join(fast.select("query_id", "street_id", *carry), "street_id")
+        .filter(F.col("sr") <= F.col("limit")).drop("sr")
+    )
+
+    cand = cand_hn.unionByName(cand_fan).unionByName(cand_fast) \
+        .withColumnRenamed("house_id", "id")
 
     # P2: radius filter around center; distance NULL when center is NULL
     cand = cand.withColumn(
@@ -184,8 +240,10 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
             + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy")))))
     cand = cand.filter(F.col("cx").isNull() | (F.col("distance") <= F.col("radius")))
 
-    # P4: country containment (with-country variants 003:112,260,405)
-    inside_udf = _country_filter_col(spark, tables, q)
+    # P4: country containment (with-country variants 003:112,260,405) —
+    # the driver-side country prefetch (R1) scans the PERSISTED candidate
+    # table, not the raw query plan (which may be an expensive page scan)
+    inside_udf = _country_filter_col(spark, tables, cand_qs)
     cand = cand.filter(F.col("country").isNull()
                        | inside_udf(F.col("x"), F.col("y"), F.col("country")))
 

@@ -91,8 +91,13 @@ def geocode_pages(spark, tables, pages: DataFrame,
     """The headline geocode-join: mined addresses forward-geocoded + mined
     coordinates reverse-geocoded, unioned as (url, kind, road, house_number,
     postcode, city, x, y)."""
+    # persist the mined candidates: they are tiny (matches, not pages) but
+    # their lineage is the full-page regexp scan — every downstream consumer
+    # (forward join, url join-back, country prefetch) would otherwise re-run
+    # the heavy regex over every page (Catalyst collapses the projections, so
+    # even one plan evaluates it multiple times per row without this barrier)
     addr = mine_addresses(pages).withColumn(
-        "query_id", F.xxhash64("url", "road", "house_number", "postcode", "city"))
+        "query_id", F.xxhash64("url", "road", "house_number", "postcode", "city")).persist()
     fwd_q = addr.select(
         "query_id", "road", "house_number", "postcode", "city",
         F.lit(None).cast("string").alias("country"),
@@ -105,7 +110,8 @@ def geocode_pages(spark, tables, pages: DataFrame,
         "road", "house_number", "postcode", "city", "x", "y")
     fwd = fwd.join(addr.select("query_id", "url"), "query_id", "inner").drop("query_id")
 
-    coords = mine_coordinates(pages).withColumn("query_id", F.xxhash64("url", "lat", "lon"))
+    coords = mine_coordinates(pages).withColumn(
+        "query_id", F.xxhash64("url", "lat", "lon")).persist()
     rev_q = coords.select("query_id", "lat", "lon",
                           F.lit(rev_radius).alias("radius"), F.lit(rev_limit).alias("limit"))
     rev = reverse_geocode(spark, tables, rev_q, with_fallback=False).select(

@@ -27,7 +27,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from . import cells as cell_mod
 from . import proj, spatial
-from .etl import HOUSE_CELL_RES
+from .etl import GRID_JOIN_RES, HOUSE_CELL_RES
 from .tables import GeocoderTables
 
 ZERO_UUID = "00000000-0000-0000-0000-000000000000"
@@ -53,14 +53,15 @@ def covering_cells_col(x_col, y_col, radius_col, res: int = HOUSE_CELL_RES):
     return _cov(x_col, y_col, radius_col)
 
 
-def _grid_expand(q: DataFrame, res: int = HOUSE_CELL_RES) -> DataFrame:
+def _grid_expand(q: DataFrame, res: int = GRID_JOIN_RES,
+                 g_col: str = "radius") -> DataFrame:
     """k-ring expansion as pure JVM expressions: one row per (ix, iy) grid
-    cell covering [qx±radius, qy±radius] (usually ≤4 rows per query —
+    cell covering [qx±g, qy±g] (usually ≤4 rows per query —
     sequence + two explodes, fully inside whole-stage codegen)."""
     from .etl import grid_cols
 
-    x0, y0 = grid_cols(F.col("qx") - F.col("radius"), F.col("qy") - F.col("radius"), res)
-    x1, y1 = grid_cols(F.col("qx") + F.col("radius"), F.col("qy") + F.col("radius"), res)
+    x0, y0 = grid_cols(F.col("qx") - F.col(g_col), F.col("qy") - F.col(g_col), res)
+    x1, y1 = grid_cols(F.col("qx") + F.col(g_col), F.col("qy") + F.col(g_col), res)
     return (q.withColumn("__ix0", x0).withColumn("__ix1", x1)
             .withColumn("__iy0", y0).withColumn("__iy1", y1)
             .withColumn("ix", F.explode(F.sequence(F.col("__ix0"), F.col("__ix1"))))
@@ -105,25 +106,77 @@ def reverse_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     return osm.select(*RESULT_COLS).unionByName(oa.select(*RESULT_COLS))
 
 
-def _candidates(q: DataFrame, houses: DataFrame) -> DataFrame:
-    """grid expansion + equi-join + exact residual distance filter."""
-    qc = _grid_expand(q)
-    cand = houses.join(F.broadcast(qc), ["ix", "iy"], "inner")
+def _candidates(q: DataFrame, houses: DataFrame,
+                radius_col: str = "radius", res: int = GRID_JOIN_RES) -> DataFrame:
+    """grid expansion + equi-join + exact residual distance filter.
+    ``radius_col`` bounds both the covering-cell window and the distance
+    residual, so by construction every house with distance <= radius_col is
+    in the join output (the cell bbox covers the closed disk)."""
+    qc = _grid_expand(q.withColumn("__g", F.col(radius_col)), res=res, g_col="__g")
+    if res == GRID_JOIN_RES:
+        keyed = houses
+    else:
+        # per-round finer grid keys, computed on the fly from cached x/y
+        # (pure arithmetic — no re-materialization of the big side)
+        from .etl import grid_cols
+        fx, fy = grid_cols(F.col("x"), F.col("y"), res)
+        keyed = houses.withColumn("ix", fx).withColumn("iy", fy)
+    cand = keyed.join(F.broadcast(qc), ["ix", "iy"], "inner")
     # 004:85-87 — the 1-D ST_X band prefilter, then exact ST_DWithin
     cand = cand.filter(
-        (F.col("x") >= F.col("qx") - F.col("radius"))
-        & (F.col("x") <= F.col("qx") + F.col("radius"))
+        (F.col("x") >= F.col("qx") - F.col("__g"))
+        & (F.col("x") <= F.col("qx") + F.col("__g"))
     ).withColumn("distance", F.sqrt(
         # sqrt form (not Java hypot): bit-identical to PostGIS ST_Distance
         # and to the DuckDB oracle's formula
         (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
         + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy"))))
-    return cand.filter(F.col("distance") <= F.col("radius"))
+    return cand.filter(F.col("distance") <= F.col("__g")).drop("__g")
+
+
+# first-pass kNN parameters: guarantee radius (meters) and the fine grid
+# resolution used for it (res 21 -> ~19 m cells). Dense mega-cells are the
+# reason these exist: within a 150 m radius a dense city cell can genuinely
+# hold thousands of in-radius houses per query (measured 40M candidate pairs
+# at bench sf0.25), but only the top-`limit` survive — the first pass bounds
+# the fan-out to the ~nearest houses and provably satisfies most queries.
+G1_METERS = 32.0
+G1_RES = 21
 
 
 def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
-    cand = _candidates(q, tables.houses)
-    cand = cand.join(F.broadcast(tables.street_city), "street_id", "inner")
+    # --- round 1: fine-grid probe within g1 = min(G1_METERS, radius) -------
+    # complete-by-construction for distance <= g1, so a query whose round-1
+    # street-joined candidate count reaches `limit` (or whose radius was
+    # fully covered) needs no second round: the true top-`limit` rows are
+    # all within g1. Counting AFTER the street inner-join matters — a
+    # dangling street_id row must not count toward satisfaction.
+    c1 = _candidates(
+        q.withColumn("__r1", F.least(F.lit(G1_METERS), F.col("radius"))),
+        tables.houses, radius_col="__r1", res=G1_RES,
+    ).drop("__r1").join(F.broadcast(tables.street_city), "street_id", "inner")
+    # ONE shuffle by query_id computes both the satisfaction count and the
+    # per-query rank; kept rows are truncated to `limit` right here (their
+    # ordering within a satisfied query is final — see pre-rank argument
+    # below), so the union the tail re-ranks is tiny
+    _p = Window.partitionBy("query_id")
+    c1 = (c1.withColumn("__n1", F.count("*").over(_p))
+            .withColumn("__r1rn", F.row_number().over(
+                _p.orderBy(F.col("distance").asc(), F.col("id").asc()))))
+    c1_keep = c1.filter(
+        ((F.col("__n1") >= F.col("limit")) | (F.col("radius") <= F.lit(G1_METERS)))
+        & (F.col("__r1rn") <= F.col("limit"))
+    ).drop("__n1", "__r1rn")
+
+    # --- round 2: full radius on the res-18 grid, only for queries round 1
+    # could not complete (the two c1 consumers share one shuffle via
+    # ReuseExchange)
+    sat_ids = c1.filter(F.col("__n1") >= F.col("limit")).select("query_id").distinct()
+    q2 = q.filter(F.col("radius") > F.lit(G1_METERS)).join(sat_ids, "query_id", "left_anti")
+    c2 = _candidates(q2, tables.houses) \
+        .join(F.broadcast(tables.street_city), "street_id", "inner")
+
+    cand = c1_keep.unionByName(c2)
     # pre-rank to `limit` houses per query before the PIP join (duplication
     # by overlapping admin polygons never promotes a lower-ranked house, so
     # results are identical — see forward.py for the argument)
