@@ -64,6 +64,9 @@ def main():
         tables.houses.count()
         tables.street_city.count()
         tables.street_name_tokens.count()
+        tables.hn_gram_df.count()
+        tables.hn_value_prefix.count()
+        tables.houses_ranked.count()
         return struct, tables
 
     struct, tables = timed("etl_build", build)

@@ -20,10 +20,14 @@ def world_params(sf: float) -> dict:
     return dict(n_streets_per_city=6, n_houses_per_street=houses, n_pages=pages)
 
 
+WORLD_VERSION = 2  # bump when fixtures.build_world geometry changes
+
+
 def ensure_bench_world(root: str, sf: float, seed: int = 42) -> str:
     """Generate (once) a scaled world keyed by its parameters; returns dir."""
     p = world_params(sf)
-    key = hashlib.sha256(f"{sorted(p.items())}|{seed}".encode()).hexdigest()[:12]
+    key = hashlib.sha256(
+        f"v{WORLD_VERSION}|{sorted(p.items())}|{seed}".encode()).hexdigest()[:12]
     out = os.path.join(root, f"world-{key}")
     if os.path.exists(os.path.join(out, "MANIFEST.sha256")):
         return out

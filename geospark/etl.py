@@ -270,7 +270,9 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     # row-group skipping), secondary = id, which SPLITS mega-cells across
     # partitions instead of serializing ~45% of all rows into one task
     # (the fixture's Bigstadt cell is exactly that skew case)
-    n_parts = max(16, 2 * spark.sparkContext.defaultParallelism)
+    import os as _os
+    n_parts = int(_os.environ.get("GEOSPARK_HOUSE_PARTS", 0)) \
+        or max(16, 2 * spark.sparkContext.defaultParallelism)
     struct_house = struct_house.repartitionByRange(n_parts, "cell_id", "id") \
         .sortWithinPartitions("cell_id", "geohash")
 

@@ -143,9 +143,17 @@ def build_world(n_streets_per_city: int = 6, n_houses_per_street: int = 40, seed
             # horizontal street line inside the city box
             sy = ccy - r * 0.8 + (si + 0.5) * (1.6 * r / n_streets)
             sx0, sx1 = ccx - r * 0.8, ccx + r * 0.8
-            if mega:  # cram the mega-city into ~800 m so one res-15 cell holds it
+            if mega:
+                # cram the mega-city into a compact box so one res-15 cell
+                # holds it (the skew fixture) — but let the box grow with the
+                # house count so the density stays at very-dense-city levels
+                # (~0.04 houses/m^2) instead of going unphysical at bench
+                # scale; at test scale (n<=1600/street) this is the original
+                # 800 m box
+                n_h_mega = n_houses_per_street * 6
+                half_w = min(0.8 * r, max(400.0, 0.2 * n_h_mega))
                 sy = ccy + (si - n_streets / 2) * 60.0
-                sx0, sx1 = ccx - 400.0, ccx + 400.0
+                sx0, sx1 = ccx - half_w, ccx + half_w
             roads.append(dict(osm_id=r_id, type="residential", street=street, cls="highway",
                               line=[[sx0, sy], [sx1, sy]]))
             r_id += 1

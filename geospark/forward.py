@@ -48,8 +48,10 @@ def _street_candidates(tables: GeocoderTables, road_terms: DataFrame) -> DataFra
     sim >= 0.3. ``road_terms``: distinct (q_road) strings."""
     q_tokens = tokenize_names(road_terms, "q_road").withColumnRenamed("n_trgm", "q_n")
     s_tokens = tables.street_name_tokens  # (name, n_trgm, trigram)
+    # stream the big, partitioned street-name index; broadcast the per-batch
+    # distinct query terms (same single-task-explosion rationale as hn_pairs)
     shared = (
-        q_tokens.join(s_tokens, "trigram")
+        s_tokens.join(F.broadcast(q_tokens), "trigram")
         .groupBy("q_road", "q_n", "name", "n_trgm")
         .agg(F.count("*").alias("shared"))
     )
@@ -67,6 +69,10 @@ def _country_filter_col(spark, tables: GeocoderTables, q: DataFrame):
     country pass, rows whose country resolved to no polygon fail (ST_Within
     against NULL is false)."""
     countries = [r[0] for r in q.select("country").where("country is not null").distinct().collect()]
+    if not countries:
+        # batch-level constant folding (R4): no country terms in this batch
+        # -> no Arrow stage at all, the residual filter is a JVM no-op
+        return None
     prepared = {c: tables.country_polygon(c) for c in countries}
     bc = spark.sparkContext.broadcast(prepared)
 
@@ -117,7 +123,13 @@ def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFra
     return forward_geocode(spark, tables, split_address_cols(queries))
 
 
-def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFrame:
+def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
+                    batch_has_countries: bool | None = None) -> DataFrame:
+    """``batch_has_countries=False`` skips the eager driver-side country
+    prefetch (R1) when the caller KNOWS the batch carries no country terms
+    (e.g. mined pages build the column as a NULL literal) — the candidate
+    persist then materializes lazily inside the main job instead of in a
+    separate up-front collect."""
     q = queries.filter(F.col("road").isNotNull()).select(
         "query_id",
         F.col("road").alias("q_road"),
@@ -140,15 +152,19 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
 
     # J8: street-name candidates per distinct road term via the tokenized
     # trigram join; then fan back out to queries and street rows
+    # SKINNY candidates: the street/city display attributes are NOT carried
+    # through the house joins and ranking shuffles — they are joined back by
+    # street_id after the final top-k (street_city is key-preserving on
+    # street_id, so the decorate-after-top-k rewrite is exact); only the
+    # trigram arrays needed by the residual % predicates ride along and are
+    # dropped right after the branch filter.
     cand_names = _street_candidates(tables, q.select("q_road").distinct())
     street_dim = tables.street_city.select(
-        "street_id", F.col("road").alias("s_road"),
-        F.col("city_name"), F.col("postcode").alias("c_postcode"),
-        "city_t", "pc_t")
+        "street_id", F.col("road").alias("s_road"), "city_t", "pc_t")
     cand = (
         q.join(cand_names, "q_road", "inner")
         .join(street_dim, F.col("road") == F.col("s_road"), "inner")
-        .drop("road")
+        .drop("road", "s_road")
     )
 
     # dispatch precedence (geocode_osm 003:474-492): postcode > city > road —
@@ -161,7 +177,8 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
          .when(F.col("q_city").isNotNull(),
                sim_from_arrays(F.col("city_t"), F.col("q_city_t")) >= text.TRGM_SIM_THRESHOLD)
          .otherwise(F.lit(True)),
-    ).filter("__branch_ok").drop("__branch_ok", "city_t", "pc_t", "q_pc_t", "q_city_t")
+    ).filter("__branch_ok").drop("__branch_ok", "city_t", "pc_t", "q_pc_t", "q_city_t",
+                                 "q_postcode", "q_city")
 
     # J2: bring in the houses of each candidate street — the big side at
     # design scale (10^12 houses). A naive fan-out join on street_id alone
@@ -180,28 +197,46 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
              if c not in ("query_id", "q_road", "q_hn", "q_hn_t", "street_id")]
 
     # (a) house_number present: the residual ``h.house_number % hn`` (003:58)
-    # as a set-similarity join — explode query hn trigrams, equi-join the
-    # ETL's inverted hn-token index on (street_id, trigram), count shared
-    # grams per (query, house), exact pg_trgm sim from the counts. Lossless:
-    # sim >= 0.3 > 0 requires a shared trigram. Non-matching pairs are never
-    # materialized; map-side partial agg keeps the shuffle at matched-pair
-    # size; AQE skew-join splits hot (street, gram) keys.
+    # as a VALUE-SPACE set-similarity join. hn similarity depends only on
+    # the two strings, so it is computed once per (distinct query hn term) x
+    # (distinct house-number string) — both value spaces are orders of
+    # magnitude smaller than the row counts they describe — via the
+    # exploded-trigram equi-join + shared-gram count (exact pg_trgm sim;
+    # lossless: sim >= 0.3 > 0 requires a shared gram). Candidates then
+    # reach houses through a plain equi-join on (street_id, house_number).
+    # This never multiplies by houses-per-street: a street-keyed token join
+    # was measured at 100M pair rows / 30 GB spill on dense bench streets.
     with_hn = cand.filter(F.col("q_hn").isNotNull())
-    q_tok = with_hn.select(
-        "query_id", "street_id", F.size("q_hn_t").alias("n_q"),
-        F.explode("q_hn_t").alias("trigram"))
-    pair_sim = (
-        q_tok.join(tables.house_hn_tokens, ["street_id", "trigram"])
-        .groupBy("query_id", "street_id", "house_id", "n_q", "n_hn")
-        .agg(F.count("*").alias("shared"))
-        .withColumn("sim", F.col("shared") / (F.col("n_q") + F.col("n_hn") - F.col("shared")))
-        .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
-        .select("query_id", "street_id", "house_id")
+    # query-side prefix tokens, ordered by the SAME global gram-frequency
+    # order as the house index (grams unseen on the house side get df=0 —
+    # rarest — they match nothing but legally occupy prefix slots)
+    q_tok = (with_hn.select("q_hn").distinct()
+             .withColumn("__t", trigram_tokens_col(F.col("q_hn")))
+             .select("q_hn", F.size("__t").alias("n_q"), F.explode("__t").alias("trigram")))
+    q_pfx_w = Window.partitionBy("q_hn").orderBy(F.col("__df").asc(), F.col("trigram").asc())
+    q_tok = (q_tok.join(F.broadcast(tables.hn_gram_df), "trigram", "left")
+             .withColumn("__df", F.coalesce(F.col("df"), F.lit(0)))
+             .withColumn("__rk", F.row_number().over(q_pfx_w))
+             .filter(F.col("__rk") <= F.col("n_q")
+                     - F.ceil(F.lit(text.TRGM_SIM_THRESHOLD) * F.col("n_q")) + 1)
+             .select("q_hn", "trigram"))
+    # STREAM the partitioned house-prefix index and BROADCAST the per-batch
+    # query tokens (the tiny distinct-query side AQE-coalesces to ~1
+    # partition — streaming it would funnel the whole pair generation
+    # through one task; measured as a single 300 s task spilling 20 GB).
+    # Surviving candidate pairs are few; exact pg_trgm sim re-verifies them.
+    hn_pairs = (
+        tables.hn_value_prefix.join(F.broadcast(q_tok), "trigram")
+        .select("q_hn", "hn").distinct()
+        .filter(pair_similarity_col(F.col("q_hn"), F.col("hn"))
+                >= text.TRGM_SIM_THRESHOLD)
+        .select("q_hn", F.col("hn").alias("house_number"))
     )
     cand_hn = (
-        pair_sim
-        .join(with_hn.select("query_id", "street_id", *carry), ["query_id", "street_id"])
-        .join(houses.drop("street_id"), "house_id")
+        with_hn.select("query_id", "street_id", "q_hn", *carry)
+        .join(hn_pairs, "q_hn")
+        .join(houses, ["street_id", "house_number"])
+        .drop("q_hn")
     )
 
     # (b) no house_number but a center radius or country restriction: the
@@ -243,9 +278,11 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
     # P4: country containment (with-country variants 003:112,260,405) —
     # the driver-side country prefetch (R1) scans the PERSISTED candidate
     # table, not the raw query plan (which may be an expensive page scan)
-    inside_udf = _country_filter_col(spark, tables, cand_qs)
-    cand = cand.filter(F.col("country").isNull()
-                       | inside_udf(F.col("x"), F.col("y"), F.col("country")))
+    inside_udf = None if batch_has_countries is False \
+        else _country_filter_col(spark, tables, cand_qs)
+    if inside_udf is not None:
+        cand = cand.filter(F.col("country").isNull()
+                           | inside_udf(F.col("x"), F.col("y"), F.col("country")))
 
     # pre-rank houses to `limit` per query BEFORE the admin PIP join: the
     # PIP left-join only duplicates rows of a house (it never reorders across
@@ -269,6 +306,10 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame) -> DataFr
     return (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("limit"))
+        # decorate the surviving top-k with street/city display attributes
+        .join(F.broadcast(tables.street_city.select(
+            "street_id", F.col("road").alias("s_road"), "city_name",
+            F.col("postcode").alias("c_postcode"))), "street_id", "inner")
         .select(
             "query_id",
             F.lit(None).cast("string").alias("house"),

@@ -37,6 +37,11 @@ ADDR_RE = (
 # "47.550535, 9.738889" style lat, lon pairs
 COORD_RE = r"(-?\d{1,2}\.\d{3,8})\s*,\s*(-?\d{1,3}\.\d{3,8})"
 
+# cheap anchor implied by every ADDR_RE match (the ``<hn>, <postcode> ``
+# core): pages without it skip the expensive backtracking name regex —
+# a pure prefilter, it can never drop a page that ADDR_RE would match
+ADDR_ANCHOR_RE = r"\d[a-z]?\s*,\s*\d{4,5}\s"
+
 
 def extract_text_col(html_col):
     """Arrow-batched deterministic extractor (pure function of html bytes)."""
@@ -91,13 +96,31 @@ def geocode_pages(spark, tables, pages: DataFrame,
     """The headline geocode-join: mined addresses forward-geocoded + mined
     coordinates reverse-geocoded, unioned as (url, kind, road, house_number,
     postcode, city, x, y)."""
-    # persist the mined candidates: they are tiny (matches, not pages) but
-    # their lineage is the full-page regexp scan — every downstream consumer
-    # (forward join, url join-back, country prefetch) would otherwise re-run
-    # the heavy regex over every page (Catalyst collapses the projections, so
-    # even one plan evaluates it multiple times per row without this barrier)
-    addr = mine_addresses(pages).withColumn(
-        "query_id", F.xxhash64("url", "road", "house_number", "postcode", "city")).persist()
+    # ONE persisted pass over the pages extracts both candidate kinds (the
+    # regex scan is the dominant per-page cost — measured 353 core-s of a
+    # 454 core-s job at bench sf1.0): the address regex runs only on pages
+    # passing the cheap anchor prefilter, and every downstream consumer
+    # (forward join, url join-back, country prefetch) reuses the persisted
+    # matches instead of re-running the scan (Catalyst collapses projections,
+    # so even one plan evaluates the regex multiple times per row without
+    # this barrier)
+    scan = pages.select(
+        "url",
+        F.when(F.col("text").rlike(ADDR_ANCHOR_RE),
+               F.regexp_extract_all(F.col("text"), F.lit(ADDR_RE), F.lit(0)))
+         .otherwise(F.array().cast("array<string>")).alias("__am"),
+        F.regexp_extract_all(F.col("text"), F.lit(COORD_RE), F.lit(0)).alias("__cm"),
+    ).filter((F.size("__am") > 0) | (F.size("__cm") > 0)).persist()
+
+    addr = (scan.select("url", F.explode("__am").alias("__m"))
+            .select("url",
+                    F.regexp_extract("__m", ADDR_RE, 1).alias("road"),
+                    F.regexp_extract("__m", ADDR_RE, 2).alias("house_number"),
+                    F.regexp_extract("__m", ADDR_RE, 3).alias("postcode"),
+                    F.regexp_extract("__m", ADDR_RE, 4).alias("city"))
+            .filter(F.col("road") != "")
+            .withColumn("query_id",
+                        F.xxhash64("url", "road", "house_number", "postcode", "city")))
     fwd_q = addr.select(
         "query_id", "road", "house_number", "postcode", "city",
         F.lit(None).cast("string").alias("country"),
@@ -105,13 +128,17 @@ def geocode_pages(spark, tables, pages: DataFrame,
         F.lit(None).cast("double").alias("center_lon"),
         F.lit(20000.0).alias("radius"), F.lit(fwd_limit).alias("limit"),
     )
-    fwd = forward_geocode(spark, tables, fwd_q).select(
+    fwd = forward_geocode(spark, tables, fwd_q, batch_has_countries=False).select(
         "query_id", F.lit("address").alias("kind"),
         "road", "house_number", "postcode", "city", "x", "y")
     fwd = fwd.join(addr.select("query_id", "url"), "query_id", "inner").drop("query_id")
 
-    coords = mine_coordinates(pages).withColumn(
-        "query_id", F.xxhash64("url", "lat", "lon")).persist()
+    coords = (scan.select("url", F.explode("__cm").alias("__m"))
+              .select("url",
+                      F.regexp_extract("__m", COORD_RE, 1).cast("double").alias("lat"),
+                      F.regexp_extract("__m", COORD_RE, 2).cast("double").alias("lon"))
+              .filter((F.abs("lat") <= 85.06) & (F.abs("lon") <= 180.0))
+              .withColumn("query_id", F.xxhash64("url", "lat", "lon")))
     rev_q = coords.select("query_id", "lat", "lon",
                           F.lit(rev_radius).alias("radius"), F.lit(rev_limit).alias("limit"))
     rev = reverse_geocode(spark, tables, rev_q, with_fallback=False).select(

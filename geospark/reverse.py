@@ -121,7 +121,12 @@ def _candidates(q: DataFrame, houses: DataFrame,
         from .etl import grid_cols
         fx, fy = grid_cols(F.col("x"), F.col("y"), res)
         keyed = houses.withColumn("ix", fx).withColumn("iy", fy)
-    cand = keyed.join(F.broadcast(qc), ["ix", "iy"], "inner")
+    # join strategy left to AQE: at small batch sizes it runtime-broadcasts
+    # the query-cell side; at design scale (10^9-row query batches) neither
+    # side is broadcastable and this becomes a shuffle join on (ix, iy) with
+    # houses pre-partitioned by cell — never force a driver-side broadcast
+    # build of a side that scales with the batch
+    cand = keyed.join(qc, ["ix", "iy"], "inner")
     # 004:85-87 — the 1-D ST_X band prefilter, then exact ST_DWithin
     cand = cand.filter(
         (F.col("x") >= F.col("qx") - F.col("__g"))
@@ -145,16 +150,27 @@ G1_RES = 21
 
 
 def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
+    # SKINNY candidate rows through every shuffle: only join/rank columns
+    # (id, x, y, street_id, distance, ...) travel through the windows;
+    # street/city display attributes are joined back AFTER the final top-k
+    # (the street_city join is key-preserving — street_id is its key — so a
+    # pre-rank LEFT SEMI is count-equivalent to the reference's inner join
+    # and the decorate-after-top-k rewrite is exact). Measured: the fat rows
+    # spilled 7.7 GB through the round-1 window at bench sf1.0.
+    houses_slim = tables.houses.select("id", "house_number", "x", "y",
+                                       "street_id", "ix", "iy")
+    street_keys = tables.street_city.select("street_id")
+
     # --- round 1: fine-grid probe within g1 = min(G1_METERS, radius) -------
     # complete-by-construction for distance <= g1, so a query whose round-1
     # street-joined candidate count reaches `limit` (or whose radius was
     # fully covered) needs no second round: the true top-`limit` rows are
-    # all within g1. Counting AFTER the street inner-join matters — a
+    # all within g1. Counting AFTER the street (semi-)join matters — a
     # dangling street_id row must not count toward satisfaction.
     c1 = _candidates(
         q.withColumn("__r1", F.least(F.lit(G1_METERS), F.col("radius"))),
-        tables.houses, radius_col="__r1", res=G1_RES,
-    ).drop("__r1").join(F.broadcast(tables.street_city), "street_id", "inner")
+        houses_slim, radius_col="__r1", res=G1_RES,
+    ).drop("__r1").join(F.broadcast(street_keys), "street_id", "left_semi")
     # ONE shuffle by query_id computes both the satisfaction count and the
     # per-query rank; kept rows are truncated to `limit` right here (their
     # ordering within a satisfied query is final — see pre-rank argument
@@ -173,8 +189,8 @@ def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
     # ReuseExchange)
     sat_ids = c1.filter(F.col("__n1") >= F.col("limit")).select("query_id").distinct()
     q2 = q.filter(F.col("radius") > F.lit(G1_METERS)).join(sat_ids, "query_id", "left_anti")
-    c2 = _candidates(q2, tables.houses) \
-        .join(F.broadcast(tables.street_city), "street_id", "inner")
+    c2 = _candidates(q2, houses_slim) \
+        .join(F.broadcast(street_keys), "street_id", "left_semi")
 
     cand = c1_keep.unionByName(c2)
     # pre-rank to `limit` houses per query before the PIP join (duplication
@@ -191,6 +207,9 @@ def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
     return (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("limit"))
+        # decorate the surviving top-k with street/city display attributes
+        .join(F.broadcast(tables.street_city.select(
+            "street_id", "road", "city_name", "postcode")), "street_id", "inner")
         .select(
             "query_id",
             F.lit(None).cast("string").alias("house"),

@@ -107,16 +107,30 @@ class GeocoderTables:
         # X3: trigram inverted index over distinct street names
         self.street_name_tokens = tokenize_names(self.streets.select(F.col("name")))
 
-        # X3 again, for house numbers: the hn GIN index materialized as an
-        # exploded token table (house_id, street_id, n_hn, trigram). The
-        # forward geocoder's ``h.house_number % hn`` becomes a set-similarity
-        # join probing this index — sim > 0 requires a shared trigram, so the
-        # equi-join on (street_id, trigram) is a lossless prefilter and the
-        # query x street-houses fan-out never materializes (measured 33.5M
-        # pair rows -> ~6M token-join rows at bench sf0.25).
-        self.house_hn_tokens = self.houses.select(
-            F.col("id").alias("house_id"), "street_id",
-            F.size("hn_t").alias("n_hn"), F.explode("hn_t").alias("trigram"))
+        # X3 again, for house numbers: the hn GIN index materialized over
+        # DISTINCT house-number strings, with PPJoin/AllPairs-style PREFIX
+        # FILTERING. The forward geocoder computes pg_trgm similarity in
+        # value space (distinct query terms x distinct hn strings), then
+        # equi-joins candidates to houses on (street_id, house_number) — the
+        # similarity work never multiplies by houses-per-street. Prefix
+        # filter: sort each value's grams by global document frequency
+        # (rarest first) and keep only the first n - ceil(tau*n) + 1 as join
+        # keys; any pair with sim >= tau must share a prefix gram (overlap
+        # >= ceil(tau*max(nA,nB))), so pairs sharing only ultra-common grams
+        # ("  1" covers ~46% of numeric hn values — quadratic blow-up) are
+        # never materialized. Exact sim is re-verified per surviving pair.
+        hn_tokens = (
+            self.houses.select(F.col("house_number").alias("hn")).distinct()
+            .withColumn("__t", trigram_tokens_col(F.col("hn")))
+            .select("hn", F.size("__t").alias("n_hn"), F.explode("__t").alias("trigram")))
+        self.hn_gram_df = hn_tokens.groupBy("trigram").agg(F.count("*").alias("df"))
+        _pfx_w = Window.partitionBy("hn").orderBy(F.col("df").asc(), F.col("trigram").asc())
+        self.hn_value_prefix = (
+            hn_tokens.join(self.hn_gram_df, "trigram")
+            .withColumn("__rk", F.row_number().over(_pfx_w))
+            .filter(F.col("__rk") <= F.col("n_hn")
+                    - F.ceil(F.lit(text.TRGM_SIM_THRESHOLD) * F.col("n_hn")) + 1)
+            .select("hn", "trigram"))
 
         # per-street rank of houses by id: for queries with NULL house_number
         # and NULL center/country the in-street ordering is (trgm_dist, id) —
@@ -143,7 +157,8 @@ class GeocoderTables:
             self.houses = self.houses.cache()
             self.street_city = self.street_city.cache()
             self.street_name_tokens = self.street_name_tokens.cache()
-            self.house_hn_tokens = self.house_hn_tokens.cache()
+            self.hn_gram_df = self.hn_gram_df.cache()
+            self.hn_value_prefix = self.hn_value_prefix.cache()
             self.houses_ranked = self.houses_ranked.cache()
 
     def prepared_admin(self, level: int) -> spatial.PreparedPolygons:
