@@ -33,11 +33,10 @@ def metaphone_cols(col):
 
 def _code_tokens(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Explode both metaphone codes into (key..., variant, code, n_trgm,
-    trigram) token rows."""
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def _tg(s: pd.Series) -> pd.Series:
-        return s.map(lambda v: sorted(text.trigrams(v)) if v else [])
+    trigram) token rows — trigram construction stays JVM-side
+    (tables.trigram_tokens_col == text.trigrams, unit-enforced), so no
+    Arrow stage runs per predict call."""
+    from .tables import trigram_tokens_col
 
     both = df.select(
         *key_cols,
@@ -46,7 +45,7 @@ def _code_tokens(df: DataFrame, key_cols: list[str]) -> DataFrame:
             F.struct(F.lit("a").alias("variant"), F.col("dmet_alt").alias("code")),
         )).alias("__v"),
     ).select(*key_cols, "__v.variant", "__v.code")
-    both = both.withColumn("__t", _tg(F.col("code")))
+    both = both.withColumn("__t", trigram_tokens_col(F.col("code")))
     return both.select(*key_cols, "variant", F.size("__t").alias("n_trgm"),
                        F.explode("__t").alias("trigram"))
 
@@ -54,7 +53,9 @@ def _code_tokens(df: DataFrame, key_cols: list[str]) -> DataFrame:
 def prepare_wordlist(wordlist: DataFrame) -> DataFrame:
     """wordlist (word, ct) + metaphone codes — the engine's equivalent of the
     dmetaphone GIN indexes, materialized once at build time."""
-    return wordlist.withColumn("__m", metaphone_cols(F.col("word"))) \
+    # compact to a few partitions: the wordlist is dimension-sized and every
+    # predict call scans it — 32 near-empty partitions just add task churn
+    return wordlist.repartition(4).withColumn("__m", metaphone_cols(F.col("word"))) \
         .select("word", "ct", F.col("__m.dmet").alias("dmet"), F.col("__m.dmet_alt").alias("dmet_alt"))
 
 
