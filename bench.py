@@ -71,7 +71,7 @@ def main():
 
     struct, tables = timed("etl_build", build)
 
-    pages = spark.read.parquet(f"{world_dir}/webpages.parquet").cache()
+    pages = spark.read.parquet(f"{world_dir}/webpages.parquet").repartition(2 * int(CPUS)).cache()
     n_pages = pages.count()
 
     timed("extract_verify", lambda: mine.verify_extraction(pages).filter("not ok").count())
@@ -95,9 +95,13 @@ def main():
         "query_id long, input string")
     timed("predict_text", lambda: predict_text(spark, wl, pq).count())
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the sf files are single parquet row groups -> 1 input partition;
+    # spread them once so the training-data ops exercise real parallelism
+    # (a production corpus arrives in many files/row groups)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(int(CPUS)).cache()
+    docs.count()
     timed("dedup_minhash_lsh", lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5).count())
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(int(CPUS)).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
     q = emb.filter("vec_id < 8").select(F.col("vec_id").alias("query_id"), "embedding")
     timed("ann_topk", lambda: simsearch.cosine_topk(emb, q, 5).count())

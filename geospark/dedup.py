@@ -92,12 +92,21 @@ def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
     104729) mod P over 32-bit shingle hashes — closed-form perms so the
     DuckDB oracle derives identical values with no side table."""
     sh = shingles(docs).withColumn("x", F.pmod(_h63(F.col("shingle")), F.lit(HASH_MOD)))
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
-    expanded = sh.select("doc_id", "x", perms)
-    hval = F.pmod((2 * F.col("perm") + 1) * F.col("x") + 7919 * F.col("perm") + 104729,
-                  F.lit(MINHASH_P))
-    return expanded.select("doc_id", "perm", hval.alias("h")) \
-        .groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+    # ONE wide aggregation instead of a perms x shingles row explosion (the
+    # exploded form pushed |docs| x |shingles| x n_perms rows through the
+    # shuffle; here map-side partial agg reduces to one 64-min row per doc
+    # per partition), unpivoted back to the (doc_id, perm, minhash) shape
+    aggs = [
+        F.min(F.pmod((2 * i + 1) * F.col("x") + 7919 * i + 104729,
+                     F.lit(MINHASH_P))).alias(f"m{i}")
+        for i in range(n_perms)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    unpivot = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("perm"), F.col(f"m{i}").alias("minhash"))
+        for i in range(n_perms)
+    ])).alias("p")
+    return wide.select("doc_id", unpivot).select("doc_id", "p.perm", "p.minhash")
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
