@@ -31,6 +31,8 @@ def infer_sf(sf_dir: str) -> float:
 
 def main():
     sf = infer_sf(SF_DIR)
+    # the bench box has RAM to spare; the library default stays conservative
+    os.environ.setdefault("GEOSPARK_DRIVER_MEM", "32g")
     from geospark.session import get_spark
     from geospark import benchgen, etl, mine, oa
     from geospark.tables import GeocoderTables

@@ -161,16 +161,37 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         .alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by simhash: 16-bit-band candidate join (any equal band
-    → candidate; a pair within Hamming<=3 of 63 bits always shares one of 4
-    bands) + exact popcount verification. (doc_a, doc_b, hamming)."""
+def simhash_band_offsets(max_hamming: int, n_bits: int = 63) -> list[tuple[int, int]]:
+    """(shift, width) per band: ``max_hamming + 1`` disjoint bit chunks of the
+    63-bit signature. Pigeonhole: a pair with Hamming <= max_hamming has at
+    least one chunk with zero differing bits, so banding on these chunks has
+    PERFECT recall at the advertised distance (the round-1 fixed 4x16 layout
+    only guaranteed Hamming <= 3 while being called with 8)."""
+    nb = max_hamming + 1
+    if nb > n_bits:
+        raise ValueError(f"max_hamming {max_hamming} needs {nb} bands > {n_bits} bits")
+    base, rem = divmod(n_bits, nb)
+    offs, start = [], 0
+    for i in range(nb):
+        w = base + (1 if i < rem else 0)
+        offs.append((start, w))
+        start += w
+    return offs
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash: banded candidate join (any equal band ->
+    candidate) + exact popcount verification; band layout sized so recall is
+    exact for the requested ``max_hamming`` (max_hamming+1 disjoint chunks —
+    note candidate selectivity drops as max_hamming grows: 63/(h+1)-bit
+    buckets). (doc_a, doc_b, hamming)."""
     sig = simhash_signatures(docs)
     banded = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(i), F.shiftright("simhash", i * 16).bitwiseAND(0xFFFF))
-            for i in range(4)
+            F.concat_ws(":", F.lit(i),
+                        F.shiftright("simhash", s).bitwiseAND((1 << w) - 1))
+            for i, (s, w) in enumerate(simhash_band_offsets(max_hamming))
         ])).alias("band"),
     )
     cand = (

@@ -13,58 +13,33 @@ instead we implement the mustache subset those templates actually use:
   * missing/None keys render as '' and the final result is ``.strip()``-ed
     (format.py:52-58: None values are dropped before rendering).
 
-Templates below are hand-written equivalents of the reference defaults
-(worldwide.yml ``default``/generic1 plus a few country styles); custom
-templates can be passed as a dict.
+Templates come from ``formatter_data`` — the full OpenCageData worldwide
+template set (224 territories + 26 generic/fallback styles + 40
+``use_country`` aliases), re-expressed as a generated Python data module
+(scripts/gen_formatter_data.py); custom templates can be passed as a dict.
 """
 
 from __future__ import annotations
 
 import re
 
-# 'default' mirrors worldwide.yml's generic1 ("postcode before city",
-# worldwide.yml:9-14 / default at :230-232); country keys are upper-cased
-# ISO codes as in format.py:45.
-TEMPLATES = {
-    "default": (
-        "{{{attention}}}\n"
-        "{{{house}}}\n"
-        "{{{road}}} {{{house_number}}}\n"
-        "{{{postcode}}} {{#first}} {{{city}}} || {{{town}}} || {{{village}}} || {{{state}}} {{/first}}\n"
-        "{{{country}}}\n"
-    ),
-    # house number before road, city then postcode (US/GB style)
-    "US": (
-        "{{{attention}}}\n"
-        "{{{house}}}\n"
-        "{{{house_number}}} {{{road}}}\n"
-        "{{#first}} {{{city}}} || {{{town}}} || {{{village}}} {{/first}}, "
-        "{{#first}} {{{state_code}}} || {{{state}}} {{/first}} {{{postcode}}}\n"
-        "{{{country}}}\n"
-    ),
-    "GB": (
-        "{{{attention}}}\n"
-        "{{{house}}}\n"
-        "{{{house_number}}} {{{road}}}\n"
-        "{{#first}} {{{city}}} || {{{town}}} || {{{village}}} {{/first}}\n"
-        "{{{postcode}}}\n"
-        "{{{country}}}\n"
-    ),
-    "DE": (
-        "{{{attention}}}\n"
-        "{{{house}}}\n"
-        "{{{road}}} {{{house_number}}}\n"
-        "{{{postcode}}} {{#first}} {{{city}}} || {{{town}}} || {{{village}}} || {{{state}}} {{/first}}\n"
-        "{{{country}}}\n"
-    ),
-    "FR": (
-        "{{{attention}}}\n"
-        "{{{house}}}\n"
-        "{{{house_number}}} {{{road}}}\n"
-        "{{{postcode}}} {{#first}} {{{city}}} || {{{town}}} || {{{village}}} {{/first}}\n"
-        "{{{country}}}\n"
-    ),
-}
+from . import formatter_data
+
+
+def _build_templates() -> dict:
+    """country code -> template string, generic-name references resolved;
+    use_country aliases resolved one hop (worldwide.yml aliases never chain).
+    'default' mirrors worldwide.yml's default entry (generic1)."""
+    out = {"default": formatter_data.GENERICS[formatter_data.DEFAULT]}
+    for code, tpl in formatter_data.COUNTRY.items():
+        out[code] = formatter_data.GENERICS.get(tpl, tpl)
+    for code, target in formatter_data.ALIASES.items():
+        if target in out:
+            out[code] = out[target]
+    return out
+
+
+TEMPLATES = _build_templates()
 
 _VAR_RE = re.compile(r"\{\{\{\s*([\w.]+)\s*\}\}\}|\{\{\s*([\w.]+)\s*\}\}")
 _SECTION_RE = re.compile(r"\{\{#first\}\}(.*?)\{\{/first\}\}", re.DOTALL)

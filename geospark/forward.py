@@ -278,8 +278,16 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # P4: country containment (with-country variants 003:112,260,405) —
     # the driver-side country prefetch (R1) scans the PERSISTED candidate
     # table, not the raw query plan (which may be an expensive page scan)
-    inside_udf = None if batch_has_countries is False \
-        else _country_filter_col(spark, tables, cand_qs)
+    if batch_has_countries is False:
+        # caller promised a country-free batch (skipping the eager prefetch
+        # collect); make the promise fail-SAFE rather than silently wrong —
+        # any row that does carry a country term is dropped (the reference's
+        # ST_Within against an unresolved polygon also yields no rows), and
+        # the filter is a JVM no-op for correct callers
+        cand = cand.filter(F.col("country").isNull())
+        inside_udf = None
+    else:
+        inside_udf = _country_filter_col(spark, tables, cand_qs)
     if inside_udf is not None:
         cand = cand.filter(F.col("country").isNull()
                            | inside_udf(F.col("x"), F.col("y"), F.col("country")))
@@ -303,7 +311,7 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(),
         F.col("id").asc(), F.col("a4_name").asc_nulls_last(), F.col("a6_name").asc_nulls_last())
-    return (
+    out = (
         cand.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("limit"))
         # decorate the surviving top-k with street/city display attributes
@@ -323,3 +331,10 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
             F.lit(ZERO_UUID).alias("license_id"),
         )
     )
+    # materialize the (small) top-k result eagerly, then release the cached
+    # candidate table: a long-lived session serving many batches must not
+    # accumulate per-batch cache entries in executor storage (round-1 leak).
+    # localCheckpoint blocks are owned by the RDD and GC'd with the plan.
+    out = out.localCheckpoint(eager=True)
+    cand_qs.unpersist()
+    return out

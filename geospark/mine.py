@@ -146,4 +146,8 @@ def geocode_pages(spark, tables, pages: DataFrame,
         "road", "house_number", "postcode", "city", "x", "y")
     rev = rev.join(coords.select("query_id", "url"), "query_id", "inner").drop("query_id")
 
-    return fwd.unionByName(rev)
+    # eager materialization + unpersist: the persisted page scan must not
+    # outlive the call in a long-lived session (see forward_geocode)
+    out = fwd.unionByName(rev).localCheckpoint(eager=True)
+    scan.unpersist()
+    return out

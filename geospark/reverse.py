@@ -93,6 +93,10 @@ def reverse_geocode(spark, tables: GeocoderTables, queries: DataFrame,
         F.col("radius").cast("double").alias("radius"),
         F.col("limit").cast("int").alias("limit"),
     )
+    # NULL radius -> no rows (the reference's ST_DWithin(…, NULL) is never
+    # true). Filtered up front: F.least(G1_METERS, radius) in the two-round
+    # kNN would otherwise silently treat NULL as a 32 m search window.
+    q = q.filter(F.col("radius").isNotNull())
 
     osm = _reverse_osm(spark, tables, q)
     if not with_fallback or tables.oa is None:

@@ -26,7 +26,8 @@ def get_spark(app: str = "geospark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("GEOSPARK_DRIVER_MEM", "32g"))
+        # conservative default; bench/scaling scripts opt into more via env
+        .config("spark.driver.memory", os.environ.get("GEOSPARK_DRIVER_MEM", "8g"))
         .config("spark.driver.extraJavaOptions", os.environ.get("GEOSPARK_JAVA_OPTS", ""))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

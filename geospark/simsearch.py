@@ -84,10 +84,10 @@ def ivf_topk(spark, emb: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
+def embedding_dup_pairs_exact(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
     """(vec_a, vec_b, cosine) pairs with cosine >= threshold, vec_a < vec_b —
-    brute-force exact (the small-dim baseline; LSH-bucketed variant would
-    reuse the simhash banding over sign bits)."""
+    brute-force exact. O(N^2) crossJoin: the small-N recall baseline ONLY;
+    the registered / scale path is ``embedding_dup_pairs`` (LSH-bucketed)."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
@@ -95,3 +95,59 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
         "vec_a", "vec_b",
         F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+SIGN_BANDS = 8
+SIGN_BITS_PER_BAND = 8
+
+
+def sign_band_cols(emb_col, bands: int = SIGN_BANDS,
+                   bits_per_band: int = SIGN_BITS_PER_BAND) -> list:
+    """Band columns of the sign-bit signature: band b packs the signs of
+    dims [b*bits, (b+1)*bits) into an int (dim j -> bit j). Random-hyperplane
+    LSH with the coordinate axes as hyperplanes — pure JVM expressions,
+    reproduced verbatim by the DuckDB oracle. Out-of-range dims read as 0."""
+    out = []
+    for b in range(bands):
+        bits = [
+            F.when(F.get(emb_col, b * bits_per_band + j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(bits_per_band)
+        ]
+        v = bits[0]
+        for x in bits[1:]:
+            v = v + x
+        out.append(F.concat_ws(":", F.lit(b), v.cast("long")))
+    return out
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.92,
+                        bands: int = SIGN_BANDS,
+                        bits_per_band: int = SIGN_BITS_PER_BAND) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates = pairs sharing at least one
+    sign-bit band (any equal band -> candidate), verified with the EXACT
+    cosine >= threshold. Returns (vec_a, vec_b, cosine), vec_a < vec_b.
+
+    Contract: this reports the banded candidate set's qualifying pairs, not
+    all qualifying pairs — a pair whose signatures differ in every band is
+    never materialized (that is the point: no crossJoin; the self-join
+    shuffles on the band key only). Recall rises with threshold (near-
+    identical vectors share most sign bits); for an exhaustive small-N sweep
+    use ``embedding_dup_pairs_exact``."""
+    banded = emb.select(
+        "vec_id",
+        F.explode(F.array(*sign_band_cols(F.col("embedding"), bands, bits_per_band))).alias("band"))
+    cand = (
+        banded.alias("l").join(banded.alias("r"),
+                               (F.col("l.band") == F.col("r.band"))
+                               & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "vec_a").join(b, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

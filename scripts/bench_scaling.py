@@ -30,6 +30,7 @@ N_BIG = 4 * N_SMALL
 def worker(cpus: int) -> None:
     import os as _os
 
+    _os.environ.setdefault("GEOSPARK_DRIVER_MEM", "32g")
     from geospark.session import get_spark
     from geospark import benchgen, etl, mine
     from geospark.tables import GeocoderTables

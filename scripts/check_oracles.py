@@ -13,14 +13,24 @@ sys.path.insert(0, ".")
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
-    from geospark.session import get_spark
     from geospark import entry_queries as eq
     from geospark import parity
 
-    spark = get_spark("oracle-check", master="local[8]")
+    if plain:
+        # replicate the driver's harness: a bare default session — no Arrow
+        # conversion, no tuned configs. The engine must work here too.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("oracle-check-plain").getOrCreate()
+    else:
+        from geospark.session import get_spark
+
+        spark = get_spark("oracle-check", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     parity.register_views(con, sf_dir)
