@@ -65,7 +65,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
     """(doc_a, doc_b, jaccard) for pairs with exact shingle-set Jaccard >=
     threshold; doc_a < doc_b. ``max_df`` drops shingles appearing in more
     than max_df docs before pairing (stop-shingle skew cap; None = exact)."""
-    sh = shingles(docs, n)
+    # one shingle extraction, many consumers (sizes, df cap, both join legs)
+    sh = shingles(docs, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairing = sh
     if max_df is not None:
@@ -83,25 +84,33 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
         .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
     return out
 
 
-def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, perm, minhash): perm i uses h_i(x) = ((2i+1)*x + 7919i +
+def minhash_wide(docs: DataFrame, n_perms: int = N_PERMS,
+                 sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, m0..m{n-1}): perm i uses h_i(x) = ((2i+1)*x + 7919i +
     104729) mod P over 32-bit shingle hashes — closed-form perms so the
-    DuckDB oracle derives identical values with no side table."""
-    sh = shingles(docs).withColumn("x", F.pmod(_h63(F.col("shingle")), F.lit(HASH_MOD)))
-    # ONE wide aggregation instead of a perms x shingles row explosion (the
-    # exploded form pushed |docs| x |shingles| x n_perms rows through the
-    # shuffle; here map-side partial agg reduces to one 64-min row per doc
-    # per partition), unpivoted back to the (doc_id, perm, minhash) shape
+    DuckDB oracle derives identical values with no side table. ONE wide
+    aggregation instead of a perms x shingles row explosion (map-side
+    partial agg reduces to one 64-min row per doc per partition). ``sh``:
+    optionally a precomputed (persisted) shingles frame."""
+    sh = (shingles(docs) if sh is None else sh) \
+        .withColumn("x", F.pmod(_h63(F.col("shingle")), F.lit(HASH_MOD)))
     aggs = [
         F.min(F.pmod((2 * i + 1) * F.col("x") + 7919 * i + 104729,
                      F.lit(MINHASH_P))).alias(f"m{i}")
         for i in range(n_perms)
     ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS,
+                       sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, perm, minhash): the wide signature unpivoted."""
+    wide = minhash_wide(docs, n_perms, sh)
     unpivot = F.explode(F.array(*[
         F.struct(F.lit(i).alias("perm"), F.col(f"m{i}").alias("minhash"))
         for i in range(n_perms)
@@ -115,12 +124,24 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     (bands x rows), bucket-join on (band, md5-of-rows), then compute the true
     shingle Jaccard for candidates only. Returns (doc_a, doc_b, jaccard)."""
     rows_per_band = n_perms // bands
-    sig = minhash_signatures(docs, n_perms).withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-    band_hash = (
-        sig.groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("perm"), F.col("minhash")))))).alias("bh"))
-    )
+    # the shingle extraction (regex scan + explode over the full corpus) is
+    # consumed FOUR times (signature agg, size agg, both verification join
+    # legs) — materialize it once; unpersisted after the (small) pair result
+    # is checkpointed
+    sh = shingles(docs).persist()
+    # band hashes straight off the wide signature row: same md5-of-sorted
+    # "perm:minhash" strings as the unpivoted form (and the DuckDB oracle),
+    # but with NO explode-to-64-rows + re-group shuffle
+    wide = minhash_wide(docs, n_perms, sh=sh)
+    band_structs = []
+    for b_i in range(bands):
+        strs = [F.concat_ws(":", F.lit(p), F.col(f"m{p}"))
+                for p in range(b_i * rows_per_band, (b_i + 1) * rows_per_band)]
+        bh = F.md5(F.concat_ws(",", F.array_sort(F.array(*strs))))
+        band_structs.append(F.struct(F.lit(b_i).alias("band"), bh.alias("bh")))
+    band_hash = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("p")
+    ).select("doc_id", F.col("p.band").alias("band"), F.col("p.bh").alias("bh"))
     cand = (
         band_hash.alias("l").join(band_hash.alias("r"),
                                   (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh"))
@@ -128,7 +149,6 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")).distinct()
     )
     # exact verification of candidates only
-    sh = shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -136,13 +156,15 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared"))
     )
-    return (
+    out = (
         shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
         .withColumn("jaccard", F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

@@ -781,6 +781,101 @@ WHERE abs(regexp_extract(s, '{_COORD_RE_SQL}', 1)::DOUBLE) <= 85.06
   AND abs(regexp_extract(s, '{_COORD_RE_SQL}', 2)::DOUBLE) <= 180.0
 """
 
+# flagship oracle: mined addresses forward-geocoded (top-1 per distinct
+# query tuple; postcode branch + hn residual — mined matches always carry
+# all four fields) + mined coordinates reverse-geocoded (top-1, OSM only,
+# radius 150), each joined back to the match multiset — the exact plan
+# mine.geocode_pages runs (per-url query_id hashing changes nothing: the
+# ranking is url-independent, the join-back restores multiplicity)
+ORACLES["geocode_pages"] = f"""
+WITH {STRUCT_CTES},
+am AS (
+    SELECT url, unnest(regexp_extract_all(text, '{_ADDR_RE_SQL}', 0)) AS s
+    FROM {_pq('webpages')}),
+m AS (
+    SELECT url,
+           regexp_extract(s, '{_ADDR_RE_SQL}', 1) AS road,
+           regexp_extract(s, '{_ADDR_RE_SQL}', 2) AS hn,
+           regexp_extract(s, '{_ADDR_RE_SQL}', 3) AS pc,
+           regexp_extract(s, '{_ADDR_RE_SQL}', 4) AS city
+    FROM am WHERE regexp_extract(s, '{_ADDR_RE_SQL}', 1) <> ''),
+fq AS (SELECT DISTINCT road AS q_road, hn AS q_hn, pc AS q_pc, city AS q_city FROM m),
+names AS (SELECT DISTINCT name FROM streets),
+cand0 AS (
+    SELECT q.q_road, n.name, {_sim('q.q_road', 'n.name')} AS sim
+    FROM (SELECT DISTINCT q_road FROM fq) q, names n
+    WHERE {_sim('q.q_road', 'n.name')} >= 0.3),
+fcand AS (
+    SELECT q.q_road, q.q_hn, q.q_pc, q.q_city, c0.sim, s.name AS s_road,
+           ci.name AS city_name, ci.postcode AS c_postcode,
+           h.id, h.house_number, h.x, h.y
+    FROM fq q
+    JOIN cand0 c0 ON c0.q_road = q.q_road
+    JOIN streets s ON s.name = c0.name
+    JOIN cities ci ON s.city_id = ci.id
+    JOIN h5 h ON h.street_id = s.id
+    WHERE {_sim('ci.postcode', 'q.q_pc')} >= 0.3
+      AND {_sim('h.house_number', 'q.q_hn')} >= 0.3),
+fa4 AS (
+    SELECT h.id AS hid, a.name AS a_name
+    FROM (SELECT DISTINCT id, x, y FROM h5) h, adm a
+    WHERE a.admin_level = 4 AND {_pip('ae', 'a.osm_id', 'h.x', 'h.y')}),
+fa6 AS (
+    SELECT h.id AS hid, a.name AS a_name
+    FROM (SELECT DISTINCT id, x, y FROM h5) h, adm a
+    WHERE a.admin_level = 6 AND {_pip('ae', 'a.osm_id', 'h.x', 'h.y')}),
+fres AS (
+    SELECT f.*, a4.a_name AS a4_name, a6.a_name AS a6_name
+    FROM fcand f LEFT JOIN fa4 a4 ON a4.hid = f.id LEFT JOIN fa6 a6 ON a6.hid = f.id),
+fwd_top AS (
+    SELECT q_road, q_hn, q_pc, q_city, s_road AS road, house_number,
+           c_postcode AS postcode, nullif(city_name, '') AS city, x, y
+    FROM fres
+    QUALIFY row_number() OVER (PARTITION BY q_road, q_hn, q_pc, q_city
+        ORDER BY sim DESC, id ASC, a4_name ASC NULLS LAST, a6_name ASC NULLS LAST) <= 1),
+fwd_rows AS (
+    SELECT m.url, 'address' AS kind, t.road, t.house_number, t.postcode, t.city, t.x, t.y
+    FROM m JOIN fwd_top t ON t.q_road = m.road AND t.q_hn = m.hn
+                         AND t.q_pc = m.pc AND t.q_city = m.city),
+cm AS (
+    SELECT url, unnest(regexp_extract_all(text, '{_COORD_RE_SQL}', 0)) AS s
+    FROM {_pq('webpages')}),
+co AS (
+    SELECT url, regexp_extract(s, '{_COORD_RE_SQL}', 1)::DOUBLE AS lat,
+           regexp_extract(s, '{_COORD_RE_SQL}', 2)::DOUBLE AS lon
+    FROM cm
+    WHERE abs(regexp_extract(s, '{_COORD_RE_SQL}', 1)::DOUBLE) <= 85.06
+      AND abs(regexp_extract(s, '{_COORD_RE_SQL}', 2)::DOUBLE) <= 180.0),
+crq AS (
+    SELECT DISTINCT lat, lon, radians(lon) * 6378137.0 AS qx,
+           ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0 AS qy
+    FROM co),
+rcand2 AS (
+    SELECT q.lat, q.lon, h.id, h.house_number, h.x, h.y, s.name AS road,
+           c.name AS city_name, c.postcode,
+           sqrt((h.x - q.qx) * (h.x - q.qx) + (h.y - q.qy) * (h.y - q.qy)) AS distance
+    FROM crq q, h5 h
+    JOIN streets s ON h.street_id = s.id
+    JOIN cities c ON s.city_id = c.id
+    WHERE h.x >= q.qx - 150.0 AND h.x <= q.qx + 150.0
+      AND sqrt((h.x - q.qx) * (h.x - q.qx) + (h.y - q.qy) * (h.y - q.qy)) <= 150.0),
+rres2 AS (
+    SELECT r.*, a4.a_name AS a4_name, a6.a_name AS a6_name
+    FROM rcand2 r LEFT JOIN fa4 a4 ON a4.hid = r.id LEFT JOIN fa6 a6 ON a6.hid = r.id),
+rev_top AS (
+    SELECT lat, lon, road, house_number, postcode, city_name AS city, x, y
+    FROM rres2
+    QUALIFY row_number() OVER (PARTITION BY lat, lon
+        ORDER BY distance ASC, id ASC, a4_name ASC NULLS LAST, a6_name ASC NULLS LAST) <= 1),
+rev_rows AS (
+    SELECT co.url, 'coordinate' AS kind, t.road, t.house_number, t.postcode,
+           t.city, t.x, t.y
+    FROM co JOIN rev_top t ON t.lat = co.lat AND t.lon = co.lon)
+SELECT url, kind, road, house_number, postcode, city,
+       CAST(round(x * 1000) AS BIGINT) AS x_mm, CAST(round(y * 1000) AS BIGINT) AS y_mm
+FROM (SELECT * FROM fwd_rows UNION ALL SELECT * FROM rev_rows)
+"""
+
 _SW_EN = "['the','and','of','to','a','in','is','it','for','on']"
 _SW_DE = "['der','die','das','und','ist','ein','zu','den','mit','von']"
 _SW_FR = "['le','la','les','et','de','un','une','est','pour','dans']"
@@ -1081,7 +1176,7 @@ QUERIES = {
     "extract_hashes": q_extract_hashes,
     "mine_addresses": q_mine_addresses,
     "mine_coordinates": q_mine_coordinates,
-    "geocode_pages": q_geocode_pages,        # no oracle: composite flagship
+    "geocode_pages": q_geocode_pages,
     # training-data ops (documents/embeddings)
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
