@@ -754,6 +754,20 @@ JOIN oa_city c ON s.city_id = c.id
 ORACLES["reverse_geocode"] = reverse_oracle_sql()
 ORACLES["forward_geocode"] = forward_oracle_sql()
 
+# the registered format query renders the DEFAULT worldwide template
+# (road hn \n postcode first(city||town||village||state), None dropped,
+# whole-string strip) over the reverse results — that render is plain
+# string SQL, so the mustache path gets an independent check too
+_FMT_FIRST = ("CASE WHEN trim(coalesce(city, '')) <> '' THEN city "
+              "WHEN trim(coalesce(state, '')) <> '' THEN state ELSE '' END")
+ORACLES["format_addresses"] = f"""
+SELECT query_id, road, house_number,
+       trim(concat(coalesce(road, ''), ' ', coalesce(house_number, ''), chr(10),
+                   coalesce(postcode, ''), ' ', {_FMT_FIRST}),
+            ' ' || chr(10)) AS formatted
+FROM ({reverse_oracle_sql()})
+"""
+
 ORACLES["extract_hashes"] = f"SELECT url, sha256(text) AS text_sha FROM {_pq('webpages')}"
 
 _ADDR_RE_SQL = mine.ADDR_RE.replace("'", "''")
@@ -1171,7 +1185,7 @@ QUERIES = {
     "reverse_geocode": q_reverse_geocode,
     "forward_geocode": q_forward_geocode,
     "predict_text": q_predict_text,          # no oracle: dmetaphone kernel
-    "format_addresses": q_format_addresses,  # no oracle: mustache kernel
+    "format_addresses": q_format_addresses,
     # web mining (input_hint table)
     "extract_hashes": q_extract_hashes,
     "mine_addresses": q_mine_addresses,

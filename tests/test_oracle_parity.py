@@ -34,9 +34,9 @@ def test_every_query_has_entry_and_runs(spark, geo):
     """All queries() entries exist and rows-only ones at least execute."""
     from geospark import entry_queries as eq
 
-    for name in ("predict_text", "format_addresses"):
+    for name in ("predict_text",):
         assert eq.ORACLES.get(name) is None
         assert eq.QUERIES[name](spark, SF_DIR).count() >= 0
     # queries that gained DuckDB oracles in round 2
-    for name in ("media_features", "media_frames", "geocode_pages"):
+    for name in ("media_features", "media_frames", "geocode_pages", "format_addresses"):
         assert eq.ORACLES.get(name) is not None
