@@ -607,6 +607,19 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with deterministic k-means-trained centroids (2 iterations,
+    integer-quantized updates — bit-identical in Spark and DuckDB)."""
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    q = emb.filter("vec_id < 8").select(F.col("vec_id").alias("query_id"), "embedding")
+    cent = simsearch.ivf_train(spark, emb, n_centroids=8, iters=2)
+    out = simsearch.ivf_topk(spark, emb, q, k=5, n_probe=2, centroids=cent)
+    return out.select("query_id", "vec_id",
+                      F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def q_emb_dups(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
@@ -1085,6 +1098,63 @@ FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5
 """
 
+# cosine of a raw-float row vs a double-list centroid; sequential folds in
+# both engines -> identical doubles
+_COS_C = ("(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+          "i -> e.embedding[i]::DOUBLE * c.c_emb[i])) "
+          "/ (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) "
+          "* sqrt(list_sum(list_transform(c.c_emb, x -> x * x)))))")
+
+# one k-means round: assign every vector to argmax round(cos, 6) (tiebreak
+# centroid_id), then per-dim integer-quantized mean rounded to 6 decimals —
+# mirrors simsearch.ivf_train exactly
+_KM_ROUND = """
+a{n} AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id
+    FROM embeddings e, cent{p} c
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({cos}, 6) DESC, c.centroid_id ASC) = 1),
+cent{n} AS (
+    SELECT centroid_id, list(c ORDER BY dim) AS c_emb FROM (
+        SELECT centroid_id, dim,
+               round((sum(vq) * 1.0 / count(*)) / 1e6, 6) AS c
+        FROM (
+            SELECT a.centroid_id, u.i - 1 AS dim,
+                   CAST(round(a.embedding[u.i]::DOUBLE * 1e6) AS BIGINT) AS vq
+            FROM a{n} a, unnest(range(1, len(a.embedding) + 1)) u(i))
+        GROUP BY centroid_id, dim)
+    GROUP BY centroid_id)"""
+
+ORACLES["ann_ivf_kmeans"] = f"""
+WITH cent0 AS (
+    SELECT vec_id AS centroid_id, list_transform(embedding, x -> x::DOUBLE) AS c_emb
+    FROM embeddings ORDER BY vec_id LIMIT 8),
+{_KM_ROUND.format(n=1, p=0, cos=_COS_C).lstrip()},
+{_KM_ROUND.format(n=2, p=1, cos=_COS_C).lstrip()},
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id
+    FROM embeddings e, cent2 c
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY round({_COS_C}, 6) DESC, c.centroid_id ASC) = 1),
+probes AS (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.centroid_id
+    FROM embeddings e, cent2 c
+    WHERE e.vec_id < 8
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {_COS_C} DESC, c.centroid_id ASC) <= 2),
+scored AS (
+    SELECT p.query_id, v.vec_id,
+           round(list_sum(list_transform(range(1, len(p.q_emb) + 1),
+                 i -> p.q_emb[i]::DOUBLE * v.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(p.q_emb, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(v.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+    FROM probes p JOIN assigned v ON v.centroid_id = p.centroid_id)
+SELECT query_id, vec_id, CAST(round(cosine * 1e4) AS BIGINT) AS cosine_e4,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) <= 5
+"""
+
 # banded-candidate contract (simsearch.embedding_dup_pairs): candidates =
 # pairs sharing >= 1 sign-bit band (8 bands x 8 dims), exact-cosine verified
 ORACLES["emb_dups"] = f"""
@@ -1204,6 +1274,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "emb_dups": q_emb_dups,
     # multimodal plumbing
     "media_stats": q_media_stats,

@@ -169,9 +169,13 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     ).drop("__pc")
 
     # --- 005: fill city from admin_level 8 then 6 (PIP) --------------------
+    # one dim-sized collect for both levels
+    adm_by_level: dict[int, list] = {}
+    for r in admin.filter(F.col("admin_level").isin([8, 6])) \
+            .select("admin_level", "osm_id", "name", "rings").collect():
+        adm_by_level.setdefault(r["admin_level"], []).append(r)
     for lvl in (8, 6):
-        rows = admin.filter(F.col("admin_level") == lvl).select("osm_id", "name", "rings").collect()
-        prep = spatial.prepare_from_rows(rows)
+        prep = spatial.prepare_from_rows(adm_by_level.get(lvl, []))
         houses = houses.withColumn(
             "__nm", F.get(spatial.pip_match_col(spark, prep, "x", "y"), 0)
         ).withColumn(

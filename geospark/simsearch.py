@@ -61,11 +61,62 @@ def ivf_assign(spark, emb: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, 
     return centroids, assigned
 
 
+def ivf_train(spark, emb: DataFrame, n_centroids: int = 8,
+              iters: int = 2) -> DataFrame:
+    """Deterministic k-means refinement of the seeded IVF centroids:
+    ``iters`` rounds of (assign to argmax rounded-cosine, recompute per-dim
+    means). Reproducible ACROSS ENGINES, not just across runs:
+
+      * assignment ranks round(cosine, 6) with centroid_id tiebreak — the
+        dot/norm folds are sequential in both Spark (F.aggregate) and DuckDB
+        (list_sum), so even the raw doubles agree;
+      * centroid update sums round(v * 1e6) as exact integers (order-free),
+        then divides — no float-summation-order nondeterminism — and rounds
+        the result to 6 decimals;
+      * clusters that lose all members drop out (documented semantics).
+
+    Returns (centroid_id, c_emb array<double>)."""
+    cent = emb.orderBy("vec_id").limit(n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
+    for _ in range(iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("cos", F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
+            .filter("rn = 1")
+            .select("centroid_id", "embedding")
+        )
+        cent = (
+            assigned.select("centroid_id", F.posexplode("embedding").alias("dim", "v"))
+            .withColumn("vq", F.round(F.col("v") * 1e6).cast("long"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("vq").alias("s"), F.count("*").alias("n"))
+            .withColumn("c", F.round(F.col("s") / F.col("n") / 1e6, 6))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("ps"))
+            .select("centroid_id", F.transform("ps", lambda s: s["c"]).alias("c_emb"))
+        )
+    return cent
+
+
 def ivf_topk(spark, emb: DataFrame, queries: DataFrame, k: int = 5,
-             n_centroids: int = 8, n_probe: int = 2) -> DataFrame:
+             n_centroids: int = 8, n_probe: int = 2,
+             centroids: DataFrame | None = None) -> DataFrame:
     """ANN top-k: probe the n_probe nearest centroids per query, search only
-    their buckets. Same output shape as cosine_topk."""
-    centroids, assigned = ivf_assign(spark, emb, n_centroids)
+    their buckets. Same output shape as cosine_topk. ``centroids``: pass a
+    trained set (ivf_train) to override the seeded assignment."""
+    if centroids is not None:
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .withColumn("cos", F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
+            .filter("rn = 1")
+            .select("vec_id", "embedding", "centroid_id")
+        )
+    else:
+        centroids, assigned = ivf_assign(spark, emb, n_centroids)
     q = queries.select("query_id", F.col("embedding").alias("q_emb"))
     probes = (
         q.crossJoin(F.broadcast(centroids))

@@ -39,6 +39,41 @@ def stream_geocode_pages(spark, tables, input_dir: str, output_dir: str,
     return writer.start()
 
 
+def stream_dedup_exact(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup over a document stream: the FIRST occurrence of
+    each text sha passes, any replay/duplicate in later micro-batches is
+    dropped. Built-in stateful dropDuplicates — the seen-sha set lives in the
+    streaming state store and survives restarts via the checkpoint (the
+    streaming face of dedup.exact_dup_groups)."""
+    return docs.withColumn("text_sha", F.sha2("text", 256)).dropDuplicates(["text_sha"])
+
+
+def stream_running_doc_counts(docs: DataFrame, key_col: str = "lang") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative per-key
+    document count + character volume across micro-batches. Each batch emits
+    the UPDATED running totals for keys seen in that batch; state is
+    (n_docs, n_chars) per key, checkpoint-persisted — the corpus-ingest
+    progress tracker a training pipeline runs next to dedup."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, c = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            c += int(pdf["text"].str.len().fillna(0).sum())
+        state.update((n, c))
+        yield pd.DataFrame({"key": [key[0]], "n_docs": [n], "n_chars": [c]})
+
+    return (
+        docs.select(F.col(key_col).cast("string").alias("key"), "text")
+        .groupBy("key")
+        .applyInPandasWithState(update, "key string, n_docs long, n_chars long",
+                                "n_docs long, n_chars long",
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_event_windows(events: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window per-type aggregation over a streaming

@@ -141,16 +141,18 @@ class GeocoderTables:
         self.houses_ranked = self.houses.withColumn(
             "sr", F.row_number().over(_street_w))
 
-        # prepared admin polygons per level (broadcast PIP dimension)
-        self._prepared = {}
-        for lvl in (4, 6, 8):
-            rows = osm_admin.filter(F.col("admin_level") == lvl).select(
-                "osm_id", "name", "rings").collect()
-            self._prepared[lvl] = spatial.prepare_from_rows(rows)
-        # countries collected driver-side for the J9 lookup
+        # prepared admin polygons per level (broadcast PIP dimension) +
+        # countries for the J9 lookup — ONE dim-sized collect for all levels
+        # instead of four separate jobs
+        by_level: dict[int, list] = {}
+        for r in osm_admin.filter(F.col("admin_level").isin([2, 4, 6, 8])) \
+                .select("admin_level", "osm_id", "name", "rings").collect():
+            by_level.setdefault(r["admin_level"], []).append(r)
+        self._prepared = {lvl: spatial.prepare_from_rows(by_level.get(lvl, []))
+                          for lvl in (4, 6, 8)}
         self.admin2_rows = [
-            r.asDict() for r in osm_admin.filter(F.col("admin_level") == 2)
-            .select("osm_id", "name", "rings").collect()
+            {"osm_id": r["osm_id"], "name": r["name"], "rings": r["rings"]}
+            for r in by_level.get(2, [])
         ]
 
         if cache:

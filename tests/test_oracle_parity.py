@@ -13,7 +13,7 @@ SUBSET = [
     "reverse_geocode", "forward_geocode",
     "extract_hashes", "mine_addresses",
     "doc_tokens", "doc_langid", "dedup_jaccard", "dedup_simhash_pairs",
-    "ann_topk", "emb_dups", "tpch_pricing", "topk_orders",
+    "ann_topk", "ann_ivf_kmeans", "emb_dups", "tpch_pricing", "topk_orders",
 ]
 
 

@@ -49,3 +49,74 @@ def test_stream_event_windows(spark, tmp_path):
     assert got_map  # some windows sealed
     for k, v in got_map.items():
         assert batch_map[k] == v
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """First occurrence passes, replays in LATER micro-batches are dropped
+    (state survives across restarts via the checkpoint)."""
+    from geospark import streaming
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("docs", "out2", "ck2"))
+    docs = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string")
+    docs.write.parquet(in_dir)
+
+    def run_once(run_id):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run_id", F.lit(run_id)) \
+                .write.mode("append").parquet(out_dir)
+
+        q = (streaming.stream_dedup_exact(stream)
+             .writeStream.foreachBatch(sink)
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        q.awaitTermination(300)
+
+    run_once(1)
+    seen1 = {r.text for r in spark.read.parquet(out_dir).filter("run_id = 1").collect()}
+    assert seen1 == {"alpha text", "beta text"}
+
+    # second batch: one replay (must be dropped via restored state), one new
+    spark.createDataFrame([(4, "alpha text"), (5, "gamma text")],
+                          "doc_id long, text string").write.mode("append").parquet(in_dir)
+    run_once(2)
+    seen2 = {r.text for r in spark.read.parquet(out_dir).filter("run_id = 2").collect()}
+    assert seen2 == {"gamma text"}
+
+
+def test_stream_running_doc_counts_stateful(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches and restarts."""
+    from geospark import streaming
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("docs2", "out3", "ck3"))
+    spark.createDataFrame([("en", "hello"), ("en", "worlds"), ("de", "hallo")],
+                          "lang string, text string").write.parquet(in_dir)
+
+    def run_once(run_id):
+        stream = spark.readStream.schema("lang string, text string").parquet(in_dir)
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("run_id", F.lit(run_id)) \
+                .write.mode("append").parquet(out_dir)
+
+        q = (streaming.stream_running_doc_counts(stream)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        q.awaitTermination(300)
+
+    run_once(1)
+    got1 = {r.key: (r.n_docs, r.n_chars)
+            for r in spark.read.parquet(out_dir).filter("run_id = 1").collect()}
+    assert got1 == {"en": (2, 11), "de": (1, 5)}
+
+    spark.createDataFrame([("en", "again")], "lang string, text string") \
+        .write.mode("append").parquet(in_dir)
+    run_once(2)
+    got2 = {r.key: (r.n_docs, r.n_chars)
+            for r in spark.read.parquet(out_dir).filter("run_id = 2").collect()}
+    # state restored from checkpoint: en total rises to 3 docs / 16 chars
+    assert got2 == {"en": (3, 16)}
