@@ -48,7 +48,7 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     px = np.asarray(px, dtype=np.float64)[:, None]
     py = np.asarray(py, dtype=np.float64)[:, None]
     straddle = (y0 > py) != (y1 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xint = x0 + (py - y0) * (x1 - x0) / (y1 - y0)
     crossings = straddle & (px < xint)
     return (crossings.sum(axis=1) % 2).astype(bool)

