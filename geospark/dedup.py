@@ -64,14 +64,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, n: int = 3,
                         max_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with exact shingle-set Jaccard >=
     threshold; doc_a < doc_b. ``max_df`` drops shingles appearing in more
-    than max_df docs before pairing (stop-shingle skew cap; None = exact)."""
+    than max_df docs before pairing (stop-shingle skew cap; None = exact).
+    With a cap, the value is the TRUE Jaccard of the capped shingle sets
+    (sizes counted over the same capped sets — not a hybrid of capped
+    intersections over uncapped sizes)."""
     # one shingle extraction, many consumers (sizes, df cap, both join legs)
     sh = shingles(docs, n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairing = sh
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        pairing = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+        pairing = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle") \
+            .select("doc_id", "shingle")
+    sizes = pairing.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = pairing.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pairing.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (

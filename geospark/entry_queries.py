@@ -66,14 +66,21 @@ class _GeoState:
         return prepare_wordlist(etl.build_wordlist(self["struct"])).cache()
 
     def _build_tables(self):
-        try:
-            oa_tabs = self["oa"]
-        except Exception as exc:  # OA source broken -> geocode OSM-only
-            import warnings
+        oa_tabs = None
+        # retry once: a TRANSIENT failure (executor hiccup) must not
+        # permanently downgrade the memoized tables to OSM-only; a
+        # persistent one (missing source) degrades loudly after 2 attempts
+        for attempt in (1, 2):
+            try:
+                oa_tabs = self["oa"]
+                break
+            except Exception as exc:
+                self._cache.pop("oa", None)
+                if attempt == 2:
+                    import warnings
 
-            warnings.warn(f"OpenAddresses tables unavailable ({exc!r}); "
-                          "geocoders run without the OA fallback")
-            oa_tabs = None
+                    warnings.warn(f"OpenAddresses tables unavailable ({exc!r}); "
+                                  "geocoders run without the OA fallback")
         return GeocoderTables(self.spark, self["struct"], self["osm"]["osm_admin"],
                               oa=oa_tabs, wordlist=self["wordlist"])
 
@@ -583,7 +590,11 @@ def q_simhash_sigs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8).select(
+    # max_hamming=3 — the classic simhash near-dup operating point: the
+    # pigeonhole banding then uses 4 bands of 15-16 bits (32k-65k buckets
+    # per band); larger h keeps exact recall but the bands get coarse
+    # (63/(h+1) bits), degrading candidate selectivity at corpus scale
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
@@ -621,9 +632,14 @@ def q_ann_ivf_kmeans(spark, sf_dir):
 
 
 def q_emb_dups(spark, sf_dir):
+    # threshold 0.9: "duplicate" = near-identical vector, the regime where
+    # sign-band LSH recall is strong (cos 0.9 -> ~86% per-bit agreement ->
+    # ~94% chance of sharing one of 8 8-bit bands; near 1.0 it approaches
+    # certainty). Lower thresholds are similarity SEARCH, not dedup — use
+    # ann_topk/ivf_topk (exact contract) for that regime.
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
-    return simsearch.embedding_dup_pairs(emb, threshold=0.5).select(
+    return simsearch.embedding_dup_pairs(emb, threshold=0.9).select(
         "vec_a", "vec_b", F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4"))
 
 
@@ -976,13 +992,14 @@ ORACLES["dedup_jaccard"] = f"""
 WITH {_SHINGLES.lstrip()},
 shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
 shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN shdf USING (shingle) WHERE shdf.df <= 256),
+sizes_c AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id),
 shared AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
     FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id)
 SELECT s.doc_a, s.doc_b,
        CAST(round(round(s.shared * 1.0 / (na.n_sh + nb.n_sh - s.shared), 6) * 1e6) AS BIGINT) AS jaccard_e6
-FROM shared s JOIN sizes na ON na.doc_id = s.doc_a JOIN sizes nb ON nb.doc_id = s.doc_b
+FROM shared s JOIN sizes_c na ON na.doc_id = s.doc_a JOIN sizes_c nb ON nb.doc_id = s.doc_b
 WHERE round(s.shared * 1.0 / (na.n_sh + nb.n_sh - s.shared), 6) >= 0.5
 """
 
@@ -1045,15 +1062,17 @@ SELECT doc_id, simhash FROM simsig
 ORACLES["dedup_simhash_pairs"] = f"""
 WITH {_SIMHASH.format(lim=1000000000).lstrip()},
 banded AS (
-    -- max_hamming=8 -> 9 disjoint 7-bit chunks (pigeonhole-exact recall)
-    SELECT doc_id, simhash, unnest(list_transform(range(9),
-        i -> i || ':' || ((simhash >> (i * 7)) & 127))) AS band
+    -- max_hamming=3 -> 4 disjoint chunks of 16/16/16/15 bits
+    -- (pigeonhole-exact recall at Hamming <= 3)
+    SELECT doc_id, simhash, unnest(list_transform(range(4),
+        i -> i || ':' || CASE WHEN i < 3 THEN ((simhash >> (i * 16)) & 65535)
+                              ELSE ((simhash >> 48) & 32767) END)) AS band
     FROM simsig),
 cand AS (
     SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.simhash AS ha, r.simhash AS hb
     FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id)
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
 
 _DOT = ("list_sum(list_transform(range(1, len(a.embedding) + 1), "
@@ -1170,7 +1189,7 @@ SELECT c.vec_a, c.vec_b,
        CAST(round(round({_COS}, 6) * 1e4) AS BIGINT) AS cosine_e4
 FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a
             JOIN embeddings b ON b.vec_id = c.vec_b
-WHERE round({_COS}, 6) >= 0.5
+WHERE round({_COS}, 6) >= 0.9
 """
 
 ORACLES["media_stats"] = f"""

@@ -335,6 +335,10 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # candidate table: a long-lived session serving many batches must not
     # accumulate per-batch cache entries in executor storage (round-1 leak).
     # localCheckpoint blocks are owned by the RDD and GC'd with the plan.
+    # Cluster caveat: localCheckpoint truncates lineage, so blocks lost with
+    # an executor (spot nodes, dynamic allocation) are NOT recomputable —
+    # callers needing durability must sink results promptly (the submit
+    # pipeline commits a parquet snapshot per stage, snapshots.Pipeline).
     out = out.localCheckpoint(eager=True)
     cand_qs.unpersist()
     return out

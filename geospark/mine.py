@@ -147,7 +147,11 @@ def geocode_pages(spark, tables, pages: DataFrame,
     rev = rev.join(coords.select("query_id", "url"), "query_id", "inner").drop("query_id")
 
     # eager materialization + unpersist: the persisted page scan must not
-    # outlive the call in a long-lived session (see forward_geocode)
+    # outlive the call in a long-lived session (see forward_geocode). The
+    # fwd half is already checkpointed inside forward_geocode, so this
+    # union checkpoint re-copies only its top-k rows (skinny, tiny vs the
+    # page scan); its real job is materializing the reverse half so the
+    # scan cache can be released here.
     out = fwd.unionByName(rev).localCheckpoint(eager=True)
     scan.unpersist()
     return out

@@ -61,6 +61,21 @@ def ivf_assign(spark, emb: DataFrame, n_centroids: int = 8) -> tuple[DataFrame, 
     return centroids, assigned
 
 
+def assign_to_centroids(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest trained centroid per vector: argmax round(cosine, 6) with
+    centroid_id tiebreak. Shared by ivf_train's loop and ivf_topk so the
+    rounding + tiebreak the DuckDB oracle mirrors lives in ONE place.
+    ``cent``: (centroid_id, c_emb). Returns (vec_id, embedding, centroid_id)."""
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cos", F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
 def ivf_train(spark, emb: DataFrame, n_centroids: int = 8,
               iters: int = 2) -> DataFrame:
     """Deterministic k-means refinement of the seeded IVF centroids:
@@ -79,14 +94,7 @@ def ivf_train(spark, emb: DataFrame, n_centroids: int = 8,
     cent = emb.orderBy("vec_id").limit(n_centroids).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb"))
     for _ in range(iters):
-        assigned = (
-            emb.crossJoin(F.broadcast(cent))
-            .withColumn("cos", F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6))
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
-            .filter("rn = 1")
-            .select("centroid_id", "embedding")
-        )
+        assigned = assign_to_centroids(emb, cent).select("centroid_id", "embedding")
         cent = (
             assigned.select("centroid_id", F.posexplode("embedding").alias("dim", "v"))
             .withColumn("vq", F.round(F.col("v") * 1e6).cast("long"))
@@ -107,14 +115,7 @@ def ivf_topk(spark, emb: DataFrame, queries: DataFrame, k: int = 5,
     their buckets. Same output shape as cosine_topk. ``centroids``: pass a
     trained set (ivf_train) to override the seeded assignment."""
     if centroids is not None:
-        assigned = (
-            emb.crossJoin(F.broadcast(centroids))
-            .withColumn("cos", F.round(cosine_col(F.col("embedding"), F.col("c_emb")), 6))
-            .withColumn("rn", F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())))
-            .filter("rn = 1")
-            .select("vec_id", "embedding", "centroid_id")
-        )
+        assigned = assign_to_centroids(emb, centroids)
     else:
         centroids, assigned = ivf_assign(spark, emb, n_centroids)
     q = queries.select("query_id", F.col("embedding").alias("q_emb"))
