@@ -124,12 +124,18 @@ def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFra
 
 
 def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
-                    batch_has_countries: bool | None = None) -> DataFrame:
+                    batch_has_countries: bool | None = None,
+                    materialize: bool = True) -> DataFrame:
     """``batch_has_countries=False`` skips the eager driver-side country
     prefetch (R1) when the caller KNOWS the batch carries no country terms
     (e.g. mined pages build the column as a NULL literal) — the candidate
     persist then materializes lazily inside the main job instead of in a
-    separate up-front collect."""
+    separate up-front collect.
+
+    ``materialize=False`` returns the LAZY plan (no eager checkpoint), so a
+    composing caller can evaluate it concurrently with other work in one
+    job; the caller then owns cache cleanup: unpersist every entry of the
+    returned DataFrame's ``_geospark_persists`` list after materializing."""
     q = queries.filter(F.col("road").isNotNull()).select(
         "query_id",
         F.col("road").alias("q_road"),
@@ -339,6 +345,9 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # an executor (spot nodes, dynamic allocation) are NOT recomputable —
     # callers needing durability must sink results promptly (the submit
     # pipeline commits a parquet snapshot per stage, snapshots.Pipeline).
+    if not materialize:
+        out._geospark_persists = [cand_qs]  # caller-owned cleanup contract
+        return out
     out = out.localCheckpoint(eager=True)
     cand_qs.unpersist()
     return out

@@ -128,7 +128,13 @@ def geocode_pages(spark, tables, pages: DataFrame,
         F.lit(None).cast("double").alias("center_lon"),
         F.lit(20000.0).alias("radius"), F.lit(fwd_limit).alias("limit"),
     )
-    fwd = forward_geocode(spark, tables, fwd_q, batch_has_countries=False).select(
+    # materialize=False: keep the forward half LAZY so the single union
+    # checkpoint below evaluates both geocode halves concurrently in one job
+    # (an inner eager checkpoint serializes the two phases and their
+    # straggler tails); this function owns the candidate-cache cleanup
+    fwd_raw = forward_geocode(spark, tables, fwd_q, batch_has_countries=False,
+                              materialize=False)
+    fwd = fwd_raw.select(
         "query_id", F.lit("address").alias("kind"),
         "road", "house_number", "postcode", "city", "x", "y")
     fwd = fwd.join(addr.select("query_id", "url"), "query_id", "inner").drop("query_id")
@@ -146,12 +152,11 @@ def geocode_pages(spark, tables, pages: DataFrame,
         "road", "house_number", "postcode", "city", "x", "y")
     rev = rev.join(coords.select("query_id", "url"), "query_id", "inner").drop("query_id")
 
-    # eager materialization + unpersist: the persisted page scan must not
-    # outlive the call in a long-lived session (see forward_geocode). The
-    # fwd half is already checkpointed inside forward_geocode, so this
-    # union checkpoint re-copies only its top-k rows (skinny, tiny vs the
-    # page scan); its real job is materializing the reverse half so the
-    # scan cache can be released here.
+    # ONE eager materialization for both halves, then release every
+    # per-call cache (the page scan + forward's candidate table): nothing
+    # persisted outlives the call in a long-lived session
     out = fwd.unionByName(rev).localCheckpoint(eager=True)
+    for cached in getattr(fwd_raw, "_geospark_persists", []):
+        cached.unpersist()
     scan.unpersist()
     return out
