@@ -86,17 +86,24 @@ def cmd_predict(args):
 
 
 def cmd_batch(args):
-    from geospark.forward import forward_geocode_unstructured, forward_geocode
+    from geospark.forward import forward_geocode
     from geospark.reverse import reverse_geocode
 
     spark, st = build_state(args.world)
     q = spark.read.parquet(args.input)
     if args.kind == "forward":
-        fn = forward_geocode_unstructured if "search_term" in q.columns else forward_geocode
-        out = fn(spark, st["tables"], q)
+        if "search_term" in q.columns:
+            from geospark.forward import split_address_cols
+
+            q = split_address_cols(q)
+        # lazy plan straight into the sink (no intermediate checkpoint);
+        # the CLI owns the candidate-cache cleanup
+        out = forward_geocode(spark, st["tables"], q, materialize=False)
     else:
         out = reverse_geocode(spark, st["tables"], q)
     out.write.mode("overwrite").parquet(args.output)
+    for cached in getattr(out, "_geospark_persists", []):
+        cached.unpersist()
     print("wrote", args.output)
 
 
