@@ -155,34 +155,38 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     )
     houses = houses.unionByName(bld_in_postal)
 
-    # --- 004: fill postcode where city='' and postcode='' (postal PIP) -----
-    # reference UPDATE takes an arbitrary polygon on overlap; we take the
+    # --- 004 + 005: fill postcode (postal PIP), then city from admin_level
+    # 8 then 6 — the three probes share identical (x, y), so ONE Arrow pass
+    # computes all three match sets (multi_pip_match_col); the sequential
+    # UPDATE semantics live in the chained column expressions (each
+    # condition reads the PREVIOUS fill's output, exactly like the SQL
+    # UPDATE order; the match values themselves depend only on x/y).
+    # Reference UPDATEs take an arbitrary polygon on overlap; we take the
     # min-osm_id winner (pip attrs are ordered by polygon id — §7.4.3)
     postal_rows = postal.select("osm_id", "postcode", "rings").collect()
-    postal_prep = spatial.prepare_from_rows(postal_rows, attr_key="postcode")
-    houses = houses.withColumn(
-        "__pc", F.get(spatial.pip_match_col(spark, postal_prep, "x", "y"), 0)
-    ).withColumn(
-        "postcode",
-        F.when((F.col("city") == "") & (F.col("postcode") == "") & F.col("__pc").isNotNull(),
-               F.col("__pc")).otherwise(F.col("postcode")),
-    ).drop("__pc")
-
-    # --- 005: fill city from admin_level 8 then 6 (PIP) --------------------
-    # one dim-sized collect for both levels
     adm_by_level: dict[int, list] = {}
     for r in admin.filter(F.col("admin_level").isin([8, 6])) \
             .select("admin_level", "osm_id", "name", "rings").collect():
         adm_by_level.setdefault(r["admin_level"], []).append(r)
-    for lvl in (8, 6):
-        prep = spatial.prepare_from_rows(adm_by_level.get(lvl, []))
+    preps = {
+        "pc": spatial.prepare_from_rows(postal_rows, attr_key="postcode"),
+        "a8": spatial.prepare_from_rows(adm_by_level.get(8, [])),
+        "a6": spatial.prepare_from_rows(adm_by_level.get(6, [])),
+    }
+    houses = houses.withColumn(
+        "__pip", spatial.multi_pip_match_col(spark, preps, "x", "y"))
+    houses = houses.withColumn(
+        "postcode",
+        F.when((F.col("city") == "") & (F.col("postcode") == "")
+               & F.get("__pip.pc", 0).isNotNull(),
+               F.get("__pip.pc", 0)).otherwise(F.col("postcode")))
+    for key in ("a8", "a6"):
         houses = houses.withColumn(
-            "__nm", F.get(spatial.pip_match_col(spark, prep, "x", "y"), 0)
-        ).withColumn(
             "city",
-            F.when((F.col("city") == "") & (F.col("postcode") != "") & F.col("__nm").isNotNull(),
-                   F.col("__nm")).otherwise(F.col("city")),
-        ).drop("__nm")
+            F.when((F.col("city") == "") & (F.col("postcode") != "")
+                   & F.get(f"__pip.{key}", 0).isNotNull(),
+                   F.get(f"__pip.{key}", 0)).otherwise(F.col("city")))
+    houses = houses.drop("__pip")
 
     # stage barrier (see _barrier): freeze UDF-filled keys before hashing
     houses = _barrier(houses)

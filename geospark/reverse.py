@@ -71,11 +71,14 @@ def _grid_expand(q: DataFrame, res: int = GRID_JOIN_RES,
 
 def _admin_cols(spark, tables: GeocoderTables, df: DataFrame) -> DataFrame:
     """LEFT JOIN osm_admin a4/a6 ON ST_Contains (004:82-83): broadcast PIP,
-    explode_outer preserves both left rows and overlap multiplicity."""
-    df = df.withColumn("__a4", spatial.pip_match_col(spark, tables.prepared_admin(4), "x", "y"))
-    df = df.withColumn("__a6", spatial.pip_match_col(spark, tables.prepared_admin(6), "x", "y"))
-    df = df.withColumn("a4_name", F.explode_outer("__a4")).drop("__a4")
-    df = df.withColumn("a6_name", F.explode_outer("__a6")).drop("__a6")
+    explode_outer preserves both left rows and overlap multiplicity. Both
+    levels probe in ONE Arrow pass (multi_pip_match_col); the sequential
+    explodes reproduce the a4-matches x a6-matches join multiplicity."""
+    df = df.withColumn("__ad", spatial.multi_pip_match_col(
+        spark, {"a4": tables.prepared_admin(4), "a6": tables.prepared_admin(6)},
+        "x", "y"))
+    df = df.withColumn("a4_name", F.explode_outer("__ad.a4"))
+    df = df.withColumn("a6_name", F.explode_outer("__ad.a6")).drop("__ad")
     return df
 
 

@@ -129,6 +129,29 @@ def pip_match_col(spark, prepared: PreparedPolygons, x_col: str, y_col: str,
     return _pip(F.col(x_col), F.col(y_col))
 
 
+def multi_pip_match_col(spark, prepared_by_key: dict, x_col: str, y_col: str):
+    """One Arrow pass matching the same (x, y) against SEVERAL prepared
+    polygon sets: returns a struct column with one array<string> field per
+    key. The ETL's 004/005 fills and the geocoders' a4/a6 admin joins all
+    probe identical coordinates — a single kernel cuts the Arrow
+    (de)serialization of the point columns from len(keys) passes to one,
+    which at 10^9 rows is the dominant PIP cost."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    keys = list(prepared_by_key)
+    bc = spark.sparkContext.broadcast(prepared_by_key)
+    out_type = StructType([StructField(k, ArrayType(StringType())) for k in keys])
+
+    @F.pandas_udf(out_type)
+    def _pip(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        return pd.DataFrame({k: pd.Series(bc.value[k].match(xs, ys)) for k in keys})
+
+    return _pip(F.col(x_col), F.col(y_col))
+
+
 def pip_join(spark, points_df, polys_df, x_col="x", y_col="y",
              id_key="osm_id", attr_key="name", rings_key="rings",
              how="left", out_col="pip_attr"):
