@@ -124,6 +124,10 @@ def main():
         "pages": n_pages,
         "pages_per_sec": round(n_pages / geo_sec, 1) if geo_sec > 0 else None,
         "cpus": int(CPUS),
+        # ambient context: this shared host shows ~2x run-to-run noise
+        # (BENCH/BASELINE.md methodology notes) — load at measurement time
+        # lets round-over-round deltas be read against conditions
+        "host_load_avg_1m": round(os.getloadavg()[0], 2),
     }))
 
 
