@@ -41,13 +41,21 @@ class _GeoState:
     driver queries to a single OA-build exception raised eagerly here."""
 
     def __init__(self, spark):
+        import threading
+
         self.spark = spark
         self._cache: dict = {}
+        # a driver may issue queries from concurrent threads; without the
+        # lock two first-touches would build (and .cache()) the same
+        # component twice — duplicate jobs and leaked cache registrations.
+        # RLock: component builds recurse (_build_struct -> self["osm"])
+        self._lock = threading.RLock()
 
     def __getitem__(self, key):
-        if key not in self._cache:
-            self._cache[key] = getattr(self, "_build_" + key)()
-        return self._cache[key]
+        with self._lock:
+            if key not in self._cache:
+                self._cache[key] = getattr(self, "_build_" + key)()
+            return self._cache[key]
 
     def _build_osm(self):
         return etl.load_osm_tables(self.spark, FIX)
@@ -62,27 +70,31 @@ class _GeoState:
             open(f"{FIX}/oa_license.txt", "rb").read())
         return {k: v.cache() for k, v in oa_tabs.items()}
 
-    def _build_wordlist(self):
-        return prepare_wordlist(etl.build_wordlist(self["struct"])).cache()
-
-    def _build_tables(self):
-        oa_tabs = None
-        # retry once: a TRANSIENT failure (executor hiccup) must not
-        # permanently downgrade the memoized tables to OSM-only; a
-        # persistent one (missing source) degrades loudly after 2 attempts
+    def _oa_or_none(self):
+        """OA tables with fault isolation + one retry: a TRANSIENT failure
+        (executor hiccup) must not permanently downgrade the session to
+        OSM-only; a persistent one (missing source) degrades loudly after 2
+        attempts — mirroring the reference's ``oa_exists`` branch
+        (001-wordlist…:12-17: the OA side is optional by design)."""
         for attempt in (1, 2):
             try:
-                oa_tabs = self["oa"]
-                break
+                return self["oa"]
             except Exception as exc:
                 self._cache.pop("oa", None)
                 if attempt == 2:
                     import warnings
 
                     warnings.warn(f"OpenAddresses tables unavailable ({exc!r}); "
-                                  "geocoders run without the OA fallback")
+                                  "running without the OA source")
+        return None
+
+    def _build_wordlist(self):
+        return prepare_wordlist(
+            etl.build_wordlist(self["struct"], oa=self._oa_or_none())).cache()
+
+    def _build_tables(self):
         return GeocoderTables(self.spark, self["struct"], self["osm"]["osm_admin"],
-                              oa=oa_tabs, wordlist=self["wordlist"])
+                              oa=self._oa_or_none(), wordlist=self["wordlist"])
 
 
 def geo_state(spark):
@@ -254,12 +266,14 @@ _QXY = ("radians(lon) * 6378137.0 AS qx, "
         "ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0 AS qy")
 
 
-def reverse_oracle_sql() -> str:
+def reverse_oracle_sql(rq_cte: str | None = None) -> str:
     dist = "sqrt((h.x - q.qx) * (h.x - q.qx) + (h.y - q.qy) * (h.y - q.qy))"
+    if rq_cte is None:
+        rq_cte = f'SELECT query_id, {_QXY}, radius, "limit" FROM {_pq("rev_queries")}'
     return f"""
 WITH {STRUCT_CTES},
 {OA_CTES.lstrip()},
-rq AS (SELECT query_id, {_QXY}, radius, "limit" FROM {_pq('rev_queries')}),
+rq AS ({rq_cte}),
 rcand AS (
     SELECT q.query_id, q."limit", h.id, h.house_number, h.x, h.y,
            s.name AS road, c.name AS city_name, c.postcode AS postcode, {dist} AS distance
@@ -390,6 +404,109 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """
 
 
+# the wordlist build (geocoder/001:43-69, OSM + OA branches) as a reusable
+# subquery over STRUCT_CTES + OA_CTES — shared by the etl_wordlist and
+# predict_text oracles
+_WORDLIST_SQL = """
+SELECT word, sum(ct) AS ct FROM (
+    SELECT unnest(regexp_split_to_array(name, '\\W')) AS word, ct FROM (
+        SELECT c.name AS name, count(*) AS ct
+        FROM cities c JOIN streets s ON c.id = s.city_id GROUP BY c.name)
+    UNION ALL
+    SELECT unnest(regexp_split_to_array(name, '\\W')) AS word, ct FROM (
+        SELECT s.name AS name, count(*) AS ct
+        FROM streets s JOIN h5 h ON s.id = h.street_id GROUP BY s.name)
+    UNION ALL
+    SELECT unnest(regexp_split_to_array(city, '\\W')) AS word, ct FROM (
+        SELECT c.city AS city, count(*) AS ct
+        FROM oa_city c JOIN oa_street s ON c.id = s.city_id GROUP BY c.city)
+    UNION ALL
+    SELECT unnest(regexp_split_to_array(street, '\\W')) AS word, ct FROM (
+        SELECT s.street AS street, count(*) AS ct
+        FROM oa_street s JOIN oa_house h ON s.id = h.street_id GROUP BY s.street)
+) GROUP BY word"""
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_oracle_sql(precision: int = 12) -> str:
+    """Standard base-32 geohash recomputed in pure DuckDB bit/string math
+    (F17): inverse-Mercator the stored (x, y), quantize lon/lat to 30 bits
+    each (floor — numpy's uint64 cast truncates), interleave from the MSB
+    with the lon bit first, and emit 5-bit base-32 characters. Checks the
+    engine's clustering key (cells.geohash_encode) fully independently —
+    including the documented lat/lon argument-order fix vs the reference
+    importer (SURVEY.md §7.4.8)."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon = "degrees(x / 6378137.0)"
+    lat = "degrees(2 * atan(exp(y / 6378137.0)) - pi() / 2)"
+    li = (f"CAST(floor(least(greatest((({lon}) + 180.0) / 360.0 * {float(1 << nlon)}, 0.0), "
+          f"{float((1 << nlon) - 1)})) AS BIGINT)")
+    la = (f"CAST(floor(least(greatest((({lat}) + 90.0) / 180.0 * {float(1 << nlat)}, 0.0), "
+          f"{float((1 << nlat) - 1)})) AS BIGINT)")
+    chars = []
+    for c in range(precision):
+        terms = []
+        for j in range(5):
+            b = 5 * c + j  # bit position from the MSB; even = lon, odd = lat
+            src = "li" if b % 2 == 0 else "la"
+            width = nlon if b % 2 == 0 else nlat
+            shift = width - 1 - b // 2
+            terms.append(f"(({src} >> {shift}) & 1) * {1 << (4 - j)}")
+        chars.append(f"substr('{_GEOHASH32}', CAST({' + '.join(terms)} AS INT) + 1, 1)")
+    gh = " || ".join(chars)
+    return f"""
+WITH {STRUCT_CTES},
+gh_src AS (SELECT id, {li} AS li, {la} AS la FROM h5)
+SELECT id, ({gh}) AS geohash FROM gh_src
+"""
+
+
+def _sim_arr(a: str, b: str) -> str:
+    """pg_trgm similarity of two PRE-COMPUTED trigram-array expressions."""
+    shared = f"len(list_intersect({a}, {b}))"
+    return (f"(CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN 0.0 "
+            f"ELSE {shared} * 1.0 / (len({a}) + len({b}) - {shared}) END)")
+
+
+def predict_oracle_sql() -> str:
+    """002-text_prediction.sql recomputed end-to-end in DuckDB: the wordlist
+    (001:43-69), the OR-of-4 dmetaphone trigram ``%`` matches (002:14-19),
+    prefix-levenshtein < 3 (002:10,22), and the 4-key ranking + LIMIT 10
+    (002:23-28). Metaphone codes come from the fixture code table
+    (dmetaphone_codes.parquet, see fixtures.build_dmetaphone_codes) — fixed
+    inputs, like the polygon edge tables are for PIP — so the trigram /
+    levenshtein / ranking dataflow is recomputed fully independently of the
+    engine."""
+    lev = "levenshtein(substr(w.word, 1, length(q.input)), q.input)"
+    sims = " OR ".join(
+        f"{_sim_arr(f'w.{wa}', f'q.{qa}')} >= 0.3"
+        for wa in ("tp", "ta") for qa in ("tp", "ta"))
+    return f"""
+WITH {STRUCT_CTES},
+{OA_CTES.lstrip()},
+wl AS ({_WORDLIST_SQL}),
+codes AS (SELECT word, dmet, dmet_alt FROM {_pq('dmetaphone_codes')}),
+wlc AS (
+    SELECT w.word, w.ct, {_trg('c.dmet')} AS tp, {_trg('c.dmet_alt')} AS ta
+    FROM wl w JOIN codes c ON c.word = w.word),
+qc AS (
+    SELECT p.query_id, p.input, {_trg('c.dmet')} AS tp, {_trg('c.dmet_alt')} AS ta
+    FROM {_pq('predict_queries')} p JOIN codes c ON c.word = p.input),
+cand AS (
+    SELECT q.query_id, w.word, w.ct, {lev} AS dist
+    FROM qc q, wlc w
+    WHERE ({sims}) AND {lev} < 3)
+SELECT query_id, word, CAST(ct AS BIGINT) AS ct, CAST(dist AS BIGINT) AS dist
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY dist ASC, ct DESC, length(word) ASC, word ASC) <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-side query wrappers (column names/types match the oracle exactly)
 # ---------------------------------------------------------------------------
@@ -419,9 +536,16 @@ def q_struct_house(spark, sf_dir):
                     _mm(F.col("x")).alias("x_mm"), _mm(F.col("y")).alias("y_mm"), "street_id")
 
 
+def q_geohash_check(spark, sf_dir):
+    """F17: the struct_house geohash clustering key vs the oracle's pure-SQL
+    base-32 recompute (geohash_oracle_sql)."""
+    return geo_state(spark)["struct"]["struct_house"].select("id", "geohash")
+
+
 def q_wordlist(spark, sf_dir):
-    st = geo_state(spark)
-    return etl.build_wordlist(st["struct"]).select("word", F.col("ct").cast("long").alias("ct"))
+    # the cached prepared wordlist (OSM + OA branches, 001:43-69) minus the
+    # metaphone decoration — reuses the session build instead of re-running it
+    return geo_state(spark)["wordlist"].select("word", F.col("ct").cast("long").alias("ct"))
 
 
 def q_oa_city(spark, sf_dir):
@@ -454,6 +578,20 @@ def q_reverse_geocode(spark, sf_dir):
     st = geo_state(spark)
     rq = spark.read.parquet(f"{FIX}/rev_queries.parquet")
     r = reverse_geocode(spark, st["tables"], rq)
+    return r.select("query_id", "house", "road", "house_number", "postcode", "city",
+                    "county", "state",
+                    _mm(F.col("x")).alias("x_mm"), _mm(F.col("y")).alias("y_mm"),
+                    _mm(F.col("distance")).alias("distance_mm"), "license_id")
+
+
+def q_reverse_epsg3857(spark, sf_dir):
+    """Geocoder.reverse_epsg3857 (geocoder.py:199-247): same pipeline over
+    already-projected points (no lon/lat -> Mercator step)."""
+    from .reverse import reverse_geocode_epsg3857
+
+    st = geo_state(spark)
+    rq = spark.read.parquet(f"{FIX}/rev3857_queries.parquet")
+    r = reverse_geocode_epsg3857(spark, st["tables"], rq)
     return r.select("query_id", "house", "road", "house_number", "postcode", "city",
                     "county", "state",
                     _mm(F.col("x")).alias("x_mm"), _mm(F.col("y")).alias("y_mm"),
@@ -744,17 +882,14 @@ SELECT id, osm_id, house_number,
 FROM h5
 """)
 
-ORACLES["etl_wordlist"] = _struct_sql("""
-SELECT word, CAST(sum(ct) AS BIGINT) AS ct FROM (
-    SELECT unnest(regexp_split_to_array(name, '\\W')) AS word, ct FROM (
-        SELECT c.name AS name, count(*) AS ct
-        FROM cities c JOIN streets s ON c.id = s.city_id GROUP BY c.name)
-    UNION ALL
-    SELECT unnest(regexp_split_to_array(name, '\\W')) AS word, ct FROM (
-        SELECT s.name AS name, count(*) AS ct
-        FROM streets s JOIN h5 h ON s.id = h.street_id GROUP BY s.name)
-) GROUP BY word
-""")
+ORACLES["geohash_check"] = geohash_oracle_sql()
+
+# both branches of 001: OSM struct words (43-54) + OA words (55-69)
+ORACLES["etl_wordlist"] = f"""
+WITH {STRUCT_CTES},
+{OA_CTES.lstrip()}
+SELECT word, CAST(ct AS BIGINT) AS ct FROM ({_WORDLIST_SQL})
+"""
 
 ORACLES["oa_city"] = _oa_sql(
     "SELECT id, city, district, region, postcode, license_id FROM oa_city")
@@ -780,7 +915,10 @@ JOIN oa_street s ON h.street_id = s.id
 JOIN oa_city c ON s.city_id = c.id
 """)
 
+ORACLES["predict_text"] = predict_oracle_sql()
 ORACLES["reverse_geocode"] = reverse_oracle_sql()
+ORACLES["reverse_epsg3857"] = reverse_oracle_sql(
+    f'SELECT query_id, x AS qx, y AS qy, radius, "limit" FROM {_pq("rev3857_queries")}')
 ORACLES["forward_geocode"] = forward_oracle_sql()
 
 # the registered format query renders the DEFAULT worldwide template
@@ -1264,6 +1402,7 @@ QUERIES = {
     "etl_struct_streets": q_struct_streets,
     "etl_struct_house": q_struct_house,
     "etl_wordlist": q_wordlist,
+    "geohash_check": q_geohash_check,
     # OpenAddresses importer (S3/S4/A6)
     "oa_city": q_oa_city,
     "oa_street": q_oa_street,
@@ -1272,8 +1411,9 @@ QUERIES = {
     "oa_address_data": q_oa_address_data,
     # geocoders (J8/J10/J11/O1/O2)
     "reverse_geocode": q_reverse_geocode,
+    "reverse_epsg3857": q_reverse_epsg3857,
     "forward_geocode": q_forward_geocode,
-    "predict_text": q_predict_text,          # no oracle: dmetaphone kernel
+    "predict_text": q_predict_text,
     "format_addresses": q_format_addresses,
     # web mining (input_hint table)
     "extract_hashes": q_extract_hashes,

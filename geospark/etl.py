@@ -127,8 +127,18 @@ def geohash_col(x_col, y_col, precision: int = 12):
     return _gh(x_col, y_col)
 
 
-def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
-    """optimize/001..014 + geocoder/001 (wordlist)."""
+def build_struct_tables(spark: SparkSession, osm: dict,
+                        hot_cell_rows: int | None = None) -> dict:
+    """optimize/001..014 + geocoder/001 (wordlist).
+
+    ``hot_cell_rows``: mega-cell threshold for adaptive cell splitting (X8 /
+    north_rule). After the house table materializes, cells holding more rows
+    than this are re-encoded at child resolution (tiling.adaptive_cells)
+    BEFORE the range partition, so a dense-city cell can never serialize into
+    one partition/row-group by id alone. Default from $GEOSPARK_HOT_CELL_ROWS
+    else 250_000 (~2 comfortable 128 MB row groups of skinny house rows);
+    0 disables. Consumers are unaffected: the reverse/forward joins key on
+    the (ix, iy) grid, and cell_id is a locality/partition key only."""
     admin = osm["osm_admin"]
     postal = osm["osm_postal_code"]
 
@@ -307,16 +317,56 @@ def build_struct_tables(spark: SparkSession, osm: dict) -> dict:
     # geohash/trigram kernels run once, and both the sample and the real
     # pass read materialized rows (measured ~2x on the struct_house build)
     struct_house = _barrier(struct_house)
+
+    # X8: adaptive cell splitting for mega-cells (dense cities). The
+    # histogram is one combiner-friendly groupBy over the materialized
+    # table; hot cells are few by construction, so the map broadcasts.
+    if hot_cell_rows is None:
+        hot_cell_rows = int(_os.environ.get("GEOSPARK_HOT_CELL_ROWS", "250000"))
+    if hot_cell_rows > 0:
+        import math
+
+        from . import tiling
+
+        # iterate: children of a split cell can THEMSELVES exceed the
+        # threshold when houses cluster in a sub-box of the parent (real
+        # dense cities do) — re-histogram and re-split until no hot cell
+        # remains. Each round's hot set is uniform-resolution (round k's
+        # hot cells are all round k-1 children), which adaptive_cells
+        # requires; cold cells never change id. Bounded by the id layout's
+        # finest resolution and a round cap (duplicate coordinates can
+        # never be split apart).
+        for _ in range(6):
+            hot = tiling.hot_cells(struct_house, hot_cell_rows)
+            if not hot:
+                break
+            hot_res = int(next(iter(hot)) >> 53)
+            if hot_res >= cell_mod.MAX_RES:
+                break
+            # deep enough that the heaviest cell lands under the threshold
+            # assuming uniform children (4^steps fan-out)
+            steps = max(1, math.ceil(math.log(max(hot.values()) / hot_cell_rows, 4)))
+            steps = min(steps, cell_mod.MAX_RES - hot_res)
+            struct_house = _barrier(
+                tiling.adaptive_cells(spark, struct_house, hot, steps=steps))
+
     struct_house = struct_house.repartitionByRange(n_parts, "cell_id", "id") \
         .sortWithinPartitions("cell_id", "geohash")
 
     return dict(struct_house=struct_house, struct_streets=streets, struct_cities=cities)
 
 
-def build_wordlist(struct: dict) -> DataFrame:
+def build_wordlist(struct: dict, oa: dict | None = None) -> DataFrame:
     """geocoder/001-wordlist_for_text_prediction.sql:43-75 as one plan:
     per-name street/house counts, \\W tokenization, two-phase sum (Spark's
-    partial/final agg replaces the hand-rolled temp-table reduce, A4)."""
+    partial/final agg replaces the hand-rolled temp-table reduce, A4).
+
+    ``oa``: the OpenAddresses tables (oa.build_oa_tables output). When given,
+    the OA branch (001:55-69) unions in: oa_city names weighted by street
+    count and oa_street names weighted by house count, both grouped by the
+    NAME (001:58,63 ``GROUP BY c.city`` / ``GROUP BY s.street`` — two city
+    rows sharing a name merge). When None the OSM-only list is built, exactly
+    like the reference when ``oa_exists`` is false (001:12-17)."""
     cities, streets, houses = struct["struct_cities"], struct["struct_streets"], struct["struct_house"]
     city_words = (
         cities.join(streets.select(F.col("city_id").alias("cid")), F.col("id") == F.col("cid"), "inner")
@@ -328,4 +378,19 @@ def build_wordlist(struct: dict) -> DataFrame:
         .groupBy(F.col("name")).agg(F.count("*").alias("ct"))
         .select(F.explode(F.split(F.col("name"), "\\W")).alias("word"), "ct")
     )
-    return city_words.unionByName(street_words).groupBy("word").agg(F.sum("ct").alias("ct"))
+    parts = city_words.unionByName(street_words)
+    if oa is not None:
+        oa_city_words = (
+            oa["oa_city"].select(F.col("id").alias("cid"), "city")
+            .join(oa["oa_street"].select(F.col("city_id").alias("cid")), "cid", "inner")
+            .groupBy("city").agg(F.count("*").alias("ct"))
+            .select(F.explode(F.split(F.col("city"), "\\W")).alias("word"), "ct")
+        )
+        oa_street_words = (
+            oa["oa_street"].select(F.col("id").alias("sid"), "street")
+            .join(oa["oa_house"].select(F.col("street_id").alias("sid")), "sid", "inner")
+            .groupBy("street").agg(F.count("*").alias("ct"))
+            .select(F.explode(F.split(F.col("street"), "\\W")).alias("word"), "ct")
+        )
+        parts = parts.unionByName(oa_city_words).unionByName(oa_street_words)
+    return parts.groupBy("word").agg(F.sum("ct").alias("ct"))

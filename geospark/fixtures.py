@@ -368,6 +368,49 @@ def build_raw_elements(world, admin_polys, postal_polys, bld_polys):
     return rows
 
 
+def build_dmetaphone_codes(world, oa_rows, predict_inputs):
+    """(word, dmet, dmet_alt) for every string that can appear as a wordlist
+    word (OSM + OA branches of geocoder/001) or as a predict-query input.
+
+    This is the predict oracle's code table (the engine's equivalent of the
+    Postgres ``str.dmetaphone`` GIN indexes, fixed at fixture-gen time like
+    the polygon edge tables are for PIP): DuckDB recomputes the whole
+    trigram-``%`` + prefix-levenshtein + 4-key-ranking path of
+    002-text_prediction.sql in SQL over these codes, independently of the
+    engine's runtime metaphone UDF. The codes themselves come from
+    geospark.metaphone (golden-tested against the published double-metaphone
+    vectors in tests/test_kernels.py), so a runtime regression in either the
+    metaphone kernel or the predict dataflow breaks the hash match."""
+    import re
+
+    from . import metaphone
+
+    names: set[str] = set()
+    for a in world["osm_admin"]:
+        names.add(a["name"])  # city names via 005/017 fills come from here
+    for h in world["osm_house_number"]:
+        names.add(h["city"])
+        names.add(h["street"])
+    for b in world["osm_buildings"]:
+        names.add(b["street"])
+    for r in oa_rows:  # importer title-cases before storing (S3)
+        city, street = r["city"].title(), r["street"].title()
+        names.add(city if city else " ")
+        names.add(street if street else " ")
+    words: set[str] = set(predict_inputs)
+    for nm in names:
+        # ASCII \W: Spark (Java), DuckDB (RE2) and Postgres all treat
+        # \W as [^0-9A-Za-z_] here, so 'Georgenstraße' splits at the ß;
+        # Python's default Unicode \W would not, leaving the actual
+        # wordlist words ('Georgenstra', 'e') uncovered by the code table
+        words.update(re.split(r"\W", nm, flags=re.ASCII))
+    rows = []
+    for w in sorted(words):
+        d, da = metaphone.double_metaphone(w)
+        rows.append(dict(word=w, dmet=d, dmet_alt=da))
+    return rows
+
+
 def build_media(n: int = 60, seed: int = 42):
     """Multimodal fixture: opaque binary payloads + typed metadata. Payload
     bytes are seeded-deterministic (hash-expanded), no real codecs."""
@@ -495,7 +538,8 @@ def write_fixtures(out_dir: str = FIXTURE_DIR, n_streets_per_city: int = 6,
     _write(build_raw_elements(world, admin_polys, postal_polys, bld_polys),
            f"{out_dir}/osm_raw_elements.parquet")
 
-    _write(build_oa_rows(seed), f"{out_dir}/oa_raw.parquet")
+    oa_rows = build_oa_rows(seed)
+    _write(oa_rows, f"{out_dir}/oa_raw.parquet")
     with open(f"{out_dir}/oa_license.txt", "wb") as fp:
         fp.write(OA_LICENSE_TEXT)
 
@@ -516,24 +560,40 @@ def write_fixtures(out_dir: str = FIXTURE_DIR, n_streets_per_city: int = 6,
                              ("country", pa.string()), ("center_lat", pa.float64()),
                              ("center_lon", pa.float64()), ("radius", pa.int64()),
                              ("limit", pa.int64())]))
-    # reverse queries derived from actual house positions (stable offsets)
+    # reverse queries derived from actual house positions (stable offsets);
+    # rev3857 carries the SAME points already projected to EPSG:3857 (the
+    # reference's Geocoder.reverse_epsg3857 entry, geocoder.py:199-247)
+    rev3857 = []
     houses = world["osm_house_number"]
     for qi, idx in enumerate([3, 77, 400, 911, 1500]):
         h = houses[idx % len(houses)]
-        lon, lat = merc_to_lonlat(np.array([h["x"] + 15.0]), np.array([h["y"] - 10.0]))
+        qx, qy = h["x"] + 15.0, h["y"] - 10.0
+        lon, lat = merc_to_lonlat(np.array([qx]), np.array([qy]))
         rev.append(dict(query_id=qi + 1, lat=float(lat[0]), lon=float(lon[0]),
                         radius=100.0, limit=10))
+        rev3857.append(dict(query_id=qi + 1, x=qx, y=qy, radius=100.0, limit=10))
     # one query in the middle of nowhere (0 results anywhere)
-    lon, lat = merc_to_lonlat(np.array([X0 - 80_000.0]), np.array([Y0 - 80_000.0]))
+    nx, ny = X0 - 80_000.0, Y0 - 80_000.0
+    lon, lat = merc_to_lonlat(np.array([nx]), np.array([ny]))
     rev.append(dict(query_id=len(rev) + 1, lat=float(lat[0]), lon=float(lon[0]),
                     radius=100.0, limit=10))
+    rev3857.append(dict(query_id=len(rev3857) + 1, x=nx, y=ny, radius=100.0, limit=10))
     # one query next to an OA house → exercises the OSM→OA fallback (J11)
     lon0, lat0 = OA_BASE["springfield"]
     rev.append(dict(query_id=len(rev) + 1, lat=lat0 + 0.00005, lon=lon0 + 0.0001,
                     radius=150.0, limit=5))
+    ox, oy = lonlat_to_merc(np.array([lon0 + 0.0001]), np.array([lat0 + 0.00005]))
+    rev3857.append(dict(query_id=len(rev3857) + 1, x=float(ox[0]), y=float(oy[0]),
+                        radius=150.0, limit=5))
     _write(fwd, f"{out_dir}/fwd_queries.parquet")
     _write(rev, f"{out_dir}/rev_queries.parquet")
+    _write(rev3857, f"{out_dir}/rev3857_queries.parquet")
     _write(predict, f"{out_dir}/predict_queries.parquet")
+
+    _write(build_dmetaphone_codes(world, oa_rows, [q["input"] for q in predict]),
+           f"{out_dir}/dmetaphone_codes.parquet",
+           schema=pa.schema([("word", pa.string()), ("dmet", pa.string()),
+                             ("dmet_alt", pa.string())]))
 
     manifest = hashlib.sha256()
     for name in sorted(os.listdir(out_dir)):

@@ -125,7 +125,8 @@ def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFra
 
 def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
                     batch_has_countries: bool | None = None,
-                    materialize: bool = True) -> DataFrame:
+                    materialize: bool = True,
+                    persist_registry: list | None = None) -> DataFrame:
     """``batch_has_countries=False`` skips the eager driver-side country
     prefetch (R1) when the caller KNOWS the batch carries no country terms
     (e.g. mined pages build the column as a NULL literal) — the candidate
@@ -134,8 +135,16 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
 
     ``materialize=False`` returns the LAZY plan (no eager checkpoint), so a
     composing caller can evaluate it concurrently with other work in one
-    job; the caller then owns cache cleanup: unpersist every entry of the
-    returned DataFrame's ``_geospark_persists`` list after materializing."""
+    job; the caller then owns cache cleanup and MUST pass
+    ``persist_registry`` (a list): every DataFrame this call persists is
+    appended to it, and the caller unpersists them after materializing.
+    An explicit registry — not an attribute on the returned DataFrame —
+    because any ``.select``/wrapper would silently drop an attribute and
+    leak the candidate cache."""
+    if not materialize and persist_registry is None:
+        raise ValueError(
+            "materialize=False requires persist_registry: the caller owns "
+            "unpersisting the candidate cache after materializing")
     q = queries.filter(F.col("road").isNotNull()).select(
         "query_id",
         F.col("road").alias("q_road"),
@@ -346,7 +355,7 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # callers needing durability must sink results promptly (the submit
     # pipeline commits a parquet snapshot per stage, snapshots.Pipeline).
     if not materialize:
-        out._geospark_persists = [cand_qs]  # caller-owned cleanup contract
+        persist_registry.append(cand_qs)  # caller-owned cleanup contract
         return out
     out = out.localCheckpoint(eager=True)
     cand_qs.unpersist()

@@ -67,7 +67,6 @@ def mine_addresses(pages: DataFrame) -> DataFrame:
     """(url, road, house_number, postcode, city) candidates via JVM regexp."""
     m = pages.select(
         "url", F.regexp_extract_all(F.col("text"), F.lit(ADDR_RE), F.lit(0)).alias("__ms"),
-        F.col("text"),
     ).select("url", F.explode("__ms").alias("__m"))
     return m.select(
         "url",
@@ -132,8 +131,9 @@ def geocode_pages(spark, tables, pages: DataFrame,
     # checkpoint below evaluates both geocode halves concurrently in one job
     # (an inner eager checkpoint serializes the two phases and their
     # straggler tails); this function owns the candidate-cache cleanup
+    fwd_persists: list = []
     fwd_raw = forward_geocode(spark, tables, fwd_q, batch_has_countries=False,
-                              materialize=False)
+                              materialize=False, persist_registry=fwd_persists)
     fwd = fwd_raw.select(
         "query_id", F.lit("address").alias("kind"),
         "road", "house_number", "postcode", "city", "x", "y")
@@ -156,7 +156,7 @@ def geocode_pages(spark, tables, pages: DataFrame,
     # per-call cache (the page scan + forward's candidate table): nothing
     # persisted outlives the call in a long-lived session
     out = fwd.unionByName(rev).localCheckpoint(eager=True)
-    for cached in getattr(fwd_raw, "_geospark_persists", []):
+    for cached in fwd_persists:
         cached.unpersist()
     scan.unpersist()
     return out

@@ -96,6 +96,28 @@ def reverse_geocode(spark, tables: GeocoderTables, queries: DataFrame,
         F.col("radius").cast("double").alias("radius"),
         F.col("limit").cast("int").alias("limit"),
     )
+    return _reverse_projected(spark, tables, q, with_fallback)
+
+
+def reverse_geocode_epsg3857(spark, tables: GeocoderTables, queries: DataFrame,
+                             with_fallback: bool = True) -> DataFrame:
+    """``queries``: (query_id, x, y, radius, limit) already in EPSG:3857 —
+    the reference's Geocoder.reverse_epsg3857 entry
+    (osmgeocoder/geocoder.py:199-247), for pipelines that store projected
+    points. Identical plan to reverse_geocode with the lon/lat projection
+    skipped."""
+    q = queries.select(
+        "query_id",
+        F.col("x").cast("double").alias("qx"),
+        F.col("y").cast("double").alias("qy"),
+        F.col("radius").cast("double").alias("radius"),
+        F.col("limit").cast("int").alias("limit"),
+    )
+    return _reverse_projected(spark, tables, q, with_fallback)
+
+
+def _reverse_projected(spark, tables: GeocoderTables, q: DataFrame,
+                       with_fallback: bool) -> DataFrame:
     # NULL radius -> no rows (the reference's ST_DWithin(…, NULL) is never
     # true). Filtered up front: F.least(G1_METERS, radius) in the two-round
     # kNN would otherwise silently treat NULL as a 32 m search window.

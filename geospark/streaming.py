@@ -44,8 +44,29 @@ def stream_dedup_exact(docs: DataFrame) -> DataFrame:
     each text sha passes, any replay/duplicate in later micro-batches is
     dropped. Built-in stateful dropDuplicates — the seen-sha set lives in the
     streaming state store and survives restarts via the checkpoint (the
-    streaming face of dedup.exact_dup_groups)."""
+    streaming face of dedup.exact_dup_groups).
+
+    STATE-GROWTH TRADEOFF: with no watermark the seen-sha store grows with
+    the number of DISTINCT documents ever seen — exact global dedup over an
+    unbounded corpus is inherently O(corpus) state (RocksDB-backed at scale).
+    For long-running streams where duplicates only arrive within a bounded
+    replay/ingest window, use ``stream_dedup_exact_windowed`` below: state is
+    then bounded by the watermark horizon."""
     return docs.withColumn("text_sha", F.sha2("text", 256)).dropDuplicates(["text_sha"])
+
+
+def stream_dedup_exact_windowed(docs: DataFrame, ts_col: str = "ts",
+                                watermark: str = "24 hours") -> DataFrame:
+    """Bounded-state variant: duplicates are only suppressed while their
+    first occurrence is within the watermark horizon
+    (dropDuplicatesWithinWatermark), so the state store evicts shas older
+    than ``watermark`` instead of growing with corpus size. The right
+    contract when duplicates come from bounded replay (crawler re-fetch,
+    at-least-once upstream delivery), not from true corpus-wide repeats."""
+    return (docs.withColumn("text_sha", F.sha2("text", 256))
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_sha"]))
 
 
 def stream_running_doc_counts(docs: DataFrame, key_col: str = "lang") -> DataFrame:

@@ -92,6 +92,27 @@ def explode_salts(df: DataFrame, k: int, salt_col: str = "salt") -> DataFrame:
     return df.withColumn(salt_col, F.explode(F.array([F.lit(i) for i in range(k)])))
 
 
+def verify_pairs_kernel(pids: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                        rings: "pd.Series") -> np.ndarray:
+    """Exact-PIP verification of candidate (point, polygon) pairs, grouped by
+    polygon: within an Arrow batch all pairs of one polygon carry identical
+    rings (the equi-join replicated the build row), so parse each polygon's
+    rings ONCE and run the vectorized ray-casting kernel over all its points
+    in one call — instead of per-row Python with per-row ring re-parsing.
+    Measured >=10x on 1e5-pair batches (tests/test_tiling.py)."""
+    from .geometry import as_rings, points_in_polygon
+
+    out = np.zeros(len(xs), dtype=bool)
+    if len(xs) == 0:
+        return out
+    order = np.argsort(pids, kind="stable")
+    bounds = np.flatnonzero(np.diff(pids[order])) + 1
+    for grp in np.split(order, bounds):
+        rr = as_rings(rings.iloc[grp[0]])
+        out[grp] = points_in_polygon(xs[grp], ys[grp], rr)
+    return out
+
+
 def tiled_pip_join(spark, points: DataFrame, polys: DataFrame, res: int,
                    x_col: str = "x", y_col: str = "y",
                    id_key: str = "osm_id", attr_key: str = "name",
@@ -101,7 +122,6 @@ def tiled_pip_join(spark, points: DataFrame, polys: DataFrame, res: int,
     cell id, equi-join on cell, exact PIP verification per pair via an
     Arrow kernel. Complements spatial.pip_join (the broadcast path)."""
     from .etl import cell_col as make_cell_col
-    from .geometry import as_rings, points_in_polygon
     from pyspark.sql.types import BooleanType
 
     @F.pandas_udf(ArrayType(LongType()))
@@ -119,15 +139,15 @@ def tiled_pip_join(spark, points: DataFrame, polys: DataFrame, res: int,
     pairs = pts.join(tiled, "__cell", "inner")
 
     @F.pandas_udf(BooleanType())
-    def _verify(x: pd.Series, y: pd.Series, rings: pd.Series) -> pd.Series:
-        out = np.zeros(len(x), dtype=bool)
-        xs = x.to_numpy(np.float64)
-        ys = y.to_numpy(np.float64)
-        for i, rr in enumerate(rings):
-            out[i] = bool(points_in_polygon(xs[i : i + 1], ys[i : i + 1], as_rings(rr))[0])
-        return pd.Series(out)
+    def _verify(pid: pd.Series, x: pd.Series, y: pd.Series, rings: pd.Series) -> pd.Series:
+        # per-polygon vectorized verification — this matters precisely on
+        # the too-big-to-broadcast path this join exists for
+        return pd.Series(verify_pairs_kernel(
+            pid.to_numpy(np.int64), x.to_numpy(np.float64),
+            y.to_numpy(np.float64), rings))
 
-    matched = pairs.filter(_verify(F.col(x_col), F.col(y_col), F.col("__rings"))) \
+    matched = pairs.filter(_verify(F.col("__pid"), F.col(x_col), F.col(y_col),
+                                   F.col("__rings"))) \
         .drop("__rings", "__cell")
     if how == "inner":
         return matched

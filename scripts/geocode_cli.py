@@ -98,11 +98,14 @@ def cmd_batch(args):
             q = split_address_cols(q)
         # lazy plan straight into the sink (no intermediate checkpoint);
         # the CLI owns the candidate-cache cleanup
-        out = forward_geocode(spark, st["tables"], q, materialize=False)
+        persists: list = []
+        out = forward_geocode(spark, st["tables"], q, materialize=False,
+                              persist_registry=persists)
     else:
+        persists = []
         out = reverse_geocode(spark, st["tables"], q)
     out.write.mode("overwrite").parquet(args.output)
-    for cached in getattr(out, "_geospark_persists", []):
+    for cached in persists:
         cached.unpersist()
     print("wrote", args.output)
 

@@ -31,12 +31,18 @@ def test_oracle_parity(spark, geo, con, name):
 
 
 def test_every_query_has_entry_and_runs(spark, geo):
-    """All queries() entries exist and rows-only ones at least execute."""
+    """EVERY registered query now carries a DuckDB oracle — round 3 closed
+    the last no_oracle row (predict_text) and added reverse_epsg3857 +
+    geohash_check with oracles from birth."""
     from geospark import entry_queries as eq
 
-    for name in ("predict_text",):
-        assert eq.ORACLES.get(name) is None
-        assert eq.QUERIES[name](spark, SF_DIR).count() >= 0
-    # queries that gained DuckDB oracles in round 2
-    for name in ("media_features", "media_frames", "geocode_pages", "format_addresses"):
-        assert eq.ORACLES.get(name) is not None
+    missing = [name for name in eq.QUERIES if eq.ORACLES.get(name) is None]
+    assert missing == [], missing
+    for name in ("predict_text", "reverse_epsg3857", "geohash_check"):
+        assert name in eq.QUERIES and eq.ORACLES.get(name) is not None
+
+
+@pytest.mark.parametrize("name", ["predict_text", "reverse_epsg3857", "geohash_check"])
+def test_oracle_parity_round3(spark, geo, con, name):
+    status, detail = parity.compare_one(spark, con, name, SF_DIR)
+    assert status == "pass", f"{name}: {detail}"

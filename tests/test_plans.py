@@ -67,8 +67,12 @@ def test_geocode_join_paths_have_no_cartesian(spark, geo):
         "query_id long, road string, house_number string, postcode string, "
         "city string, country string, center_lat double, center_lon double, "
         "radius int, limit int")
-    fplan = _plan(forward_geocode(spark, geo["tables"], fq, materialize=False))
+    fpersists: list = []
+    fplan = _plan(forward_geocode(spark, geo["tables"], fq, materialize=False,
+                                  persist_registry=fpersists))
     assert "CartesianProduct" not in fplan
+    for cached in fpersists:
+        cached.unpersist()
 
     rq = spark.createDataFrame([(1, 47.9, 9.0, 150.0, 5)],
                                "query_id long, lat double, lon double, radius double, limit int")

@@ -87,6 +87,34 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     assert seen2 == {"gamma text"}
 
 
+def test_stream_dedup_windowed_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark variant: duplicates inside the horizon
+    are dropped; the sha state is eviction-bounded by the watermark (here we
+    assert the dedup semantics within one availableNow pass)."""
+    from geospark import streaming
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("docsw", "outw", "ckw"))
+    spark.createDataFrame(
+        [(1, "alpha text", "2024-01-01 10:00:00"),
+         (2, "alpha text", "2024-01-01 10:30:00"),   # dup within horizon
+         (3, "beta text", "2024-01-01 11:00:00")],
+        "doc_id long, text string, ts string").write.parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts string").parquet(in_dir)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (streaming.stream_dedup_exact_windowed(stream, watermark="2 hours")
+         .writeStream.foreachBatch(sink)
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    assert {r.text for r in out.collect()} == {"alpha text", "beta text"}
+    assert out.count() == 2
+
+
 def test_stream_running_doc_counts_stateful(spark, tmp_path):
     """applyInPandasWithState accumulates across micro-batches and restarts."""
     from geospark import streaming
