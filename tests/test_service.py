@@ -1,0 +1,76 @@
+"""HTTP service face (S7): the three reference endpoints served end-to-end
+over the engine, exercised through real HTTP round-trips."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark, geo):
+    from geospark.service import GeocoderService, make_server
+
+    svc = GeocoderService(spark, geo["tables"], geo["wordlist"])
+    httpd = make_server(svc, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_forward_endpoint(server):
+    status, body = _post(f"{server}/forward",
+                         {"address": "Georgenstraße 34, 92224 Amberg"})
+    assert status == 200 and isinstance(body, list) and body
+    top = body[0]
+    assert set(top) == {"address", "lat", "lon"}
+    assert "Georgenstraße" in top["address"] and "Amberg" in top["address"]
+    # fixture world sits around lon 8.5-11 / lat 47-48.5
+    assert 46.0 < top["lat"] < 49.5 and 8.0 < top["lon"] < 12.0
+
+
+def test_reverse_endpoint_hit_and_miss(server, geo):
+    import numpy as np
+
+    from geospark import proj
+
+    # a street-linked house (orphans legitimately return nothing)
+    h = (geo["tables"].houses
+         .join(geo["tables"].street_city.select("street_id"), "street_id", "left_semi")
+         .select("x", "y").first())
+    lon, lat = proj.merc_to_lonlat(np.array([h.x + 5.0]), np.array([h.y]))
+    status, body = _post(f"{server}/reverse",
+                         {"lat": float(lat[0]), "lon": float(lon[0])})
+    assert status == 200 and body["address"]
+
+    status, body = _post(f"{server}/reverse", {"lat": 0.0, "lon": 0.0})
+    assert status == 404 and body["error"]["code"] == 404
+
+
+def test_predict_endpoint(server):
+    status, body = _post(f"{server}/predict", {"query": "Dickenr"})
+    assert status == 200
+    assert "Dickenreuth" in body["predictions"]
+
+
+def test_bad_requests(server):
+    for path, payload in [("/forward", {}), ("/reverse", {"lat": 1.0}),
+                          ("/predict", {})]:
+        status, body = _post(f"{server}{path}", payload)
+        assert status == 400, path
+    status, _ = _post(f"{server}/nope", {"x": 1})
+    assert status == 404
