@@ -9,6 +9,8 @@ as batch dataflow over Spark DataFrames:
 * admin containment  -> broadcast-tiled vectorized point-in-polygon (J3)
 * ETL optimize/001..018 -> deterministic DataFrame stages with content-derived keys
 * text prediction    -> double-metaphone trigram join + levenshtein prefix (O3)
+* raster <-> vector  -> grid rasterize / pyramid pool / vectorize / zonal stats (raster.py)
+* HTTP service face  -> /forward /reverse /predict over the engine (service.py)
 
 All geo/text kernels are pure NumPy/Python (no shapely/h3/pg extensions) inside
 vectorized pandas UDFs; no RDDs; no per-row Python in hot paths.

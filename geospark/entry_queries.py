@@ -465,6 +465,29 @@ SELECT id, ({gh}) AS geohash FROM gh_src
 """
 
 
+def _raster_grid_sql(res: int) -> str:
+    """h5 points -> (ix, iy, n) grid aggregate in DuckDB — same closed-form
+    double ops (and the same Python-float literals) as etl.grid_cols."""
+    from . import cells as cell_mod
+    from .proj import L as _L
+
+    size = cell_mod.cell_size(res)
+    n = (1 << res) - 1
+    ix = f"CAST(least(greatest(floor((x + {_L!r}) / {size!r}), 0), {n}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor((y + {_L!r}) / {size!r}), 0), {n}) AS BIGINT)"
+    return (f"SELECT {ix} AS ix, {iy} AS iy, CAST(count(*) AS BIGINT) AS n "
+            f"FROM h5 GROUP BY 1, 2")
+
+
+def _morton_sql(res: int, ix: str = "ix", iy: str = "iy") -> str:
+    """Morton cell id (cells.encode_ij) as pure SQL bit math: res tag in
+    bits 53+, bit-interleave as a sum of disjoint shifted bits — an
+    independent recompute of the engine's JVM bit-spread."""
+    terms = [f"((({ix} >> {b}) & 1) << {2 * b}) + ((({iy} >> {b}) & 1) << {2 * b + 1})"
+             for b in range(res)]
+    return f"({res << 53} + {' + '.join(terms)})"
+
+
 def _sim_arr(a: str, b: str) -> str:
     """pg_trgm similarity of two PRE-COMPUTED trigram-array expressions."""
     shared = f"len(list_intersect({a}, {b}))"
@@ -637,6 +660,27 @@ def q_mine_coordinates(spark, sf_dir):
         F.round(F.col("lon") * 1e6).cast("long").alias("lon_e6"))
 
 
+def q_pages_latest(spark, sf_dir):
+    """Per-url latest-crawl dedup over a simulated re-crawl: the fixture
+    pages unioned with a +1000 s re-fetch replica; exactly the newer row per
+    url must survive."""
+    pages = spark.read.parquet(f"{FIX}/webpages.parquet")
+    recrawl = pages.withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1000 SECONDS"))
+    out = mine.latest_snapshot(pages.unionByName(recrawl))
+    return out.select("url", F.unix_timestamp("warc_ts").cast("long").alias("ts_epoch"),
+                      F.sha2("text", 256).alias("text_sha"))
+
+
+def q_domain_stats(spark, sf_dir):
+    pages = spark.read.parquet(f"{FIX}/webpages.parquet")
+    d = mine.domain_stats(pages)
+    return d.select("host", F.col("n_pages").cast("long").alias("n_pages"),
+                    F.col("n_distinct_texts").cast("long").alias("n_distinct_texts"),
+                    F.col("text_chars").cast("long").alias("text_chars"),
+                    F.unix_timestamp("first_ts").cast("long").alias("first_epoch"),
+                    F.unix_timestamp("last_ts").cast("long").alias("last_epoch"))
+
+
 def q_geocode_pages(spark, sf_dir):
     st = geo_state(spark)
     pages = spark.read.parquet(f"{FIX}/webpages.parquet")
@@ -779,6 +823,50 @@ def q_emb_dups(spark, sf_dir):
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
     return simsearch.embedding_dup_pairs(emb, threshold=0.9).select(
         "vec_a", "vec_b", F.round(F.col("cosine") * 1e4).cast("long").alias("cosine_e4"))
+
+
+# ---- raster <-> vector (north_rule; geospark/raster.py) --------------------
+
+RASTER_RES = 15
+POOL_STEPS = 2
+VEC_MIN_N = 5
+
+
+def _raster15(spark):
+    from . import raster
+
+    return raster.rasterize(geo_state(spark)["struct"]["struct_house"], RASTER_RES)
+
+
+def q_raster_density(spark, sf_dir):
+    return _raster15(spark).select("ix", "iy", "cell_id",
+                                   F.col("n").cast("long").alias("n"))
+
+
+def q_raster_pool(spark, sf_dir):
+    from . import raster
+
+    return raster.pool(_raster15(spark), steps=POOL_STEPS, res=RASTER_RES).select(
+        "ix", "iy", "cell_id", F.col("n").cast("long").alias("n"))
+
+
+def q_raster_vectorize(spark, sf_dir):
+    from . import raster
+
+    v = raster.vectorize(_raster15(spark), RASTER_RES, F.col("n") >= VEC_MIN_N)
+    return v.select("cell_id", "ix", "iy", F.col("n").cast("long").alias("n"),
+                    _mm(F.col("xmin")).alias("xmin_mm"), _mm(F.col("ymin")).alias("ymin_mm"),
+                    _mm(F.col("xmax")).alias("xmax_mm"), _mm(F.col("ymax")).alias("ymax_mm"))
+
+
+def q_raster_zonal(spark, sf_dir):
+    from . import raster
+
+    st = geo_state(spark)
+    zones = st["osm"]["osm_admin"].filter(F.col("admin_level") == 6)
+    out = raster.zonal_stats(spark, _raster15(spark), zones, RASTER_RES)
+    return out.select("zone", F.col("n_cells").cast("long").alias("n_cells"),
+                      F.col("n_points").cast("long").alias("n_points"))
 
 
 def q_media_stats(spark, sf_dir):
@@ -936,6 +1024,28 @@ FROM ({reverse_oracle_sql()})
 """
 
 ORACLES["extract_hashes"] = f"SELECT url, sha256(text) AS text_sha FROM {_pq('webpages')}"
+
+ORACLES["pages_latest"] = f"""
+WITH crawl AS (
+    SELECT url, warc_ts, text FROM {_pq('webpages')}
+    UNION ALL
+    SELECT url, warc_ts + INTERVAL 1000 SECOND, text FROM {_pq('webpages')})
+SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_epoch, sha256(text) AS text_sha
+FROM crawl
+QUALIFY row_number() OVER (PARTITION BY url
+    ORDER BY warc_ts DESC, sha256(text) ASC) = 1
+"""
+
+ORACLES["domain_stats"] = f"""
+SELECT regexp_extract(lower(url), '{mine._HOST_RE}', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+       CAST(min(epoch(warc_ts)) AS BIGINT) AS first_epoch,
+       CAST(max(epoch(warc_ts)) AS BIGINT) AS last_epoch
+FROM {_pq('webpages')}
+GROUP BY 1
+"""
 
 _ADDR_RE_SQL = mine.ADDR_RE.replace("'", "''")
 _COORD_RE_SQL = mine.COORD_RE.replace("'", "''")
@@ -1330,6 +1440,45 @@ FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a
 WHERE round({_COS}, 6) >= 0.9
 """
 
+def _raster_oracles() -> dict[str, str]:
+    from . import cells as cell_mod
+    from .proj import L as _L
+
+    res, steps = RASTER_RES, POOL_STEPS
+    size = cell_mod.cell_size(res)
+    out = {}
+    out["raster_density"] = _struct_sql(f"""
+SELECT ix, iy, {_morton_sql(res)} AS cell_id, n
+FROM ({_raster_grid_sql(res)})
+""")
+    out["raster_pool"] = _struct_sql(f"""
+SELECT ix, iy, {_morton_sql(res - steps)} AS cell_id, CAST(n AS BIGINT) AS n FROM (
+    SELECT (ix >> {steps}) AS ix, (iy >> {steps}) AS iy, sum(n) AS n
+    FROM ({_raster_grid_sql(res)}) GROUP BY 1, 2)
+""")
+    out["raster_vectorize"] = _struct_sql(f"""
+SELECT {_morton_sql(res)} AS cell_id, ix, iy, n,
+       CAST(round((ix * {size!r} - {_L!r}) * 1000) AS BIGINT) AS xmin_mm,
+       CAST(round((iy * {size!r} - {_L!r}) * 1000) AS BIGINT) AS ymin_mm,
+       CAST(round(((ix * {size!r} - {_L!r}) + {size!r}) * 1000) AS BIGINT) AS xmax_mm,
+       CAST(round(((iy * {size!r} - {_L!r}) + {size!r}) * 1000) AS BIGINT) AS ymax_mm
+FROM ({_raster_grid_sql(res)}) WHERE n >= {VEC_MIN_N}
+""")
+    out["raster_zonal"] = _struct_sql(f"""
+SELECT CAST(a.osm_id AS VARCHAR) AS zone,
+       CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(c.n) AS BIGINT) AS n_points
+FROM (SELECT ix, iy, n,
+             (ix + 0.5) * {size!r} - {_L!r} AS cx,
+             (iy + 0.5) * {size!r} - {_L!r} AS cy
+      FROM ({_raster_grid_sql(res)})) c, adm a
+WHERE a.admin_level = 6 AND {_pip('ae', 'a.osm_id', 'c.cx', 'c.cy')}
+GROUP BY a.osm_id
+""")
+    return out
+
+
+ORACLES.update(_raster_oracles())
+
 ORACLES["media_stats"] = f"""
 SELECT media_id, kind, CAST(octet_length(payload) AS BIGINT) AS n_bytes
 FROM {_pq('media')}
@@ -1417,6 +1566,8 @@ QUERIES = {
     "format_addresses": q_format_addresses,
     # web mining (input_hint table)
     "extract_hashes": q_extract_hashes,
+    "pages_latest": q_pages_latest,
+    "domain_stats": q_domain_stats,
     "mine_addresses": q_mine_addresses,
     "mine_coordinates": q_mine_coordinates,
     "geocode_pages": q_geocode_pages,
@@ -1435,6 +1586,11 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "emb_dups": q_emb_dups,
+    # raster <-> vector (north_rule)
+    "raster_density": q_raster_density,
+    "raster_pool": q_raster_pool,
+    "raster_vectorize": q_raster_vectorize,
+    "raster_zonal": q_raster_zonal,
     # multimodal plumbing
     "media_stats": q_media_stats,
     "media_features": q_media_features,

@@ -78,6 +78,24 @@ def cell_col(x_col, y_col, res: int = HOUSE_CELL_RES):
     return _cell(x_col, y_col)
 
 
+def _spread_col(c):
+    """JVM bit-spread (one zero bit between each of the low 27 bits) —
+    the codegen'd twin of cells._part1by1."""
+    c = c.bitwiseAND(F.lit(0x7FFFFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return c
+
+
+def morton_cell_col(ix_col, iy_col, res: int):
+    """(ix, iy) grid coords -> Morton cell id, pure JVM (cells.encode_ij)."""
+    return F.lit(res << 53).bitwiseOR(_spread_col(ix_col)) \
+        .bitwiseOR(F.shiftleft(_spread_col(iy_col), 1))
+
+
 def cell_col_jvm(x_col, y_col, res: int = HOUSE_CELL_RES):
     """Pure-JVM Morton cell id — bit-for-bit the same as cells.encode
     (xy_to_ij + bit-spread interleave + res tag), but expressed as codegen'd
@@ -86,17 +104,7 @@ def cell_col_jvm(x_col, y_col, res: int = HOUSE_CELL_RES):
     JVM ops. The Arrow kernel (cell_col) stays as the reference
     implementation; tests assert equality."""
     ix, iy = grid_cols(x_col, y_col, res)
-
-    def spread(c):
-        c = c.bitwiseAND(F.lit(0x7FFFFFF))
-        c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
-        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
-        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
-        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
-        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
-        return c
-
-    return F.lit(res << 53).bitwiseOR(spread(ix)).bitwiseOR(F.shiftleft(spread(iy), 1))
+    return morton_cell_col(ix, iy, res)
 
 
 def grid_cols(x_col, y_col, res: int = HOUSE_CELL_RES):

@@ -277,10 +277,14 @@ def build_webpages(world, n_pages: int = 1500, seed: int = 42):
     rng = np.random.RandomState(seed + 2)
     houses = world["osm_house_number"]
     langs = ["en", "de", "fr", "es", "it"]
+    # several crawl hosts (deterministic per page) so per-domain analytics
+    # have real groups to aggregate; host choice never affects page content
+    hosts = ["example.org", "news.example.com", "shop.example.net",
+             "blog.example.org", "data.example.io"]
     pages = []
     base_ts = 1700000000  # fixed epoch base; no wall-clock
     for i in range(n_pages):
-        url = f"https://example.org/p/{i}"
+        url = f"https://{hosts[i % len(hosts)]}/p/{i}"
         h = houses[int(rng.randint(0, len(houses)))]
         body = [f"<h1>Page {i}</h1>"]
         kind = i % 4

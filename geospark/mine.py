@@ -63,6 +63,38 @@ def verify_extraction(pages: DataFrame) -> DataFrame:
     )
 
 
+def latest_snapshot(pages: DataFrame) -> DataFrame:
+    """Per-url latest-crawl dedup: Common-Crawl-style tables carry one row
+    per (url, warc_ts) fetch; downstream consumers want exactly one row per
+    url — the newest fetch, ties broken by content hash for determinism.
+    One window shuffle keyed on url (at 10^12 rows this is the canonical
+    hash-partitioned dedup; no driver state)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.sha2("text", 256).asc())
+    return (pages.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# registrable host: scheme://HOST[:port]/... — string ops only (JVM)
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """Per-host crawl aggregates (page count, distinct texts, total text
+    bytes, first/last fetch): the corpus-curation view a CC pipeline keeps
+    per domain. Pure JVM regexp + one groupBy."""
+    host = F.regexp_extract(F.lower(F.col("url")), _HOST_RE, 1)
+    return (pages.withColumn("host", host)
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.countDistinct(F.sha2("text", 256)).alias("n_distinct_texts"),
+                 F.sum(F.length("text")).alias("text_chars"),
+                 F.min("warc_ts").alias("first_ts"),
+                 F.max("warc_ts").alias("last_ts")))
+
+
 def mine_addresses(pages: DataFrame) -> DataFrame:
     """(url, road, house_number, postcode, city) candidates via JVM regexp."""
     m = pages.select(

@@ -113,7 +113,16 @@ def main() -> None:
     os.makedirs(BENCH_ROOT, exist_ok=True)
     with open(os.path.join(BENCH_ROOT, "scaling.json"), "w") as fp:
         json.dump(summary, fp, indent=1)
-    with open(os.path.join(BENCH_ROOT, "BASELINE.md"), "w") as fp:
+    # preserve hand-written sections below the scaling block (timing
+    # methodology, workload-redefinition notes, ...) across rewrites
+    extra = ""
+    baseline_path = os.path.join(BENCH_ROOT, "BASELINE.md")
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        cut = old.find("\n## Timing methodology")
+        if cut >= 0:
+            extra = old[cut:]
+    with open(baseline_path, "w") as fp:
         fp.write(f"""# BENCH/BASELINE — measured numbers for this engine
 
 ## Scaling efficiency (north_rule: >=0.8 from N to 4N executors)
@@ -156,6 +165,7 @@ its build-pipeline numbers are in the repo-root BASELINE.md.
 Per-query timings for the full suite are in BENCH_r*.json (driver-recorded,
 `python bench.py`).
 """)
+        fp.write(extra)
     print(json.dumps(summary))
 
 
