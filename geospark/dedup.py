@@ -171,6 +171,45 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     return out
 
 
+def dup_clusters(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """(doc_id, keeper): connected components over a near-dup pair graph —
+    the dedup family's final step (pairs say who MATCHES; a pipeline keeps
+    one doc per CLUSTER, dropping the rest). Keeper = min doc_id in the
+    component, the same keeper rule exact_dup_groups uses.
+
+    Algorithm: iterative min-label propagation. Each round, every node takes
+    the min label across itself and its neighbors — one equi-join + groupBy
+    shuffle per round, converging in O(component diameter) rounds (real
+    near-dup components are dense and shallow; diameter is small even at
+    corpus scale, and each round is a plain hash-partitioned join, so this
+    is the standard large-graph CC recipe short of an ipartitioned
+    hash-to-min). Lineage is truncated every round (localCheckpoint) so the
+    plan does not grow with iterations. Raises if not converged after
+    ``max_rounds`` — silent truncation would return WRONG clusters."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+        .distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # min over neighbors' labels, merged with own label
+        nbr = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, "node", "left")
+                      .select("node", F.least("label", "nbr_label").alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.withColumnRenamed("label", "new")
+                   .join(labels, "node")
+                   .filter(F.col("new") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"),
+                                 F.col("label").alias("keeper"))
+    raise RuntimeError(f"dup_clusters did not converge in {max_rounds} rounds")
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 64-bit simhash over distinct words — bit j is 1
     when the sum over words of (bit j of h63(word) ? +1 : -1) is positive."""

@@ -767,6 +767,15 @@ def q_minhash_lsh(spark, sf_dir):
         "doc_a", "doc_b", F.round(F.col("jaccard") * 1e6).cast("long").alias("jaccard_e6"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the minhash-LSH near-dup graph: the dedup
+    group assignment (doc_id -> keeper) a pipeline acts on."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return dedup.dup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keeper").cast("long").alias("keeper"))
+
+
 def q_simhash_sigs(spark, sf_dir):
     return dedup.simhash_signatures(_docs(spark, sf_dir).filter("doc_id < 100"))
 
@@ -1269,8 +1278,10 @@ WITH {_MINHASH.format(lim=100).lstrip()}
 SELECT doc_id, CAST(perm AS BIGINT) AS perm, CAST(minhash AS BIGINT) AS minhash FROM sig
 """
 
-ORACLES["dedup_minhash_lsh"] = f"""
-WITH {_MINHASH.format(lim=1000000000).lstrip().replace('sh100', 'shall')},
+# the full minhash-LSH pair derivation as a reusable CTE chain ending in
+# ``lshp`` (doc_a, doc_b, j6) — consumed by dedup_minhash_lsh and the
+# connected-components clusters oracle
+_LSH_PAIRS_CTES = f"""{_MINHASH.format(lim=1000000000).lstrip().replace('sh100', 'shall')},
 bh AS (
     SELECT doc_id, CAST(perm / 8 AS INT) AS band,
            md5(array_to_string(list_sort(list(perm || ':' || minhash)), ',')) AS bhash
@@ -1282,11 +1293,32 @@ cand AS (
 shared AS (
     SELECT c.doc_a, c.doc_b, count(*) AS shared
     FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-    GROUP BY c.doc_a, c.doc_b)
-SELECT s.doc_a, s.doc_b,
-       CAST(round(round(s.shared * 1.0 / (na.n_sh + nb.n_sh - s.shared), 6) * 1e6) AS BIGINT) AS jaccard_e6
-FROM shared s JOIN sizes na ON na.doc_id = s.doc_a JOIN sizes nb ON nb.doc_id = s.doc_b
-WHERE round(s.shared * 1.0 / (na.n_sh + nb.n_sh - s.shared), 6) >= 0.5
+    GROUP BY c.doc_a, c.doc_b),
+lshp AS (
+    SELECT s.doc_a, s.doc_b,
+           round(s.shared * 1.0 / (na.n_sh + nb.n_sh - s.shared), 6) AS j6
+    FROM shared s JOIN sizes na ON na.doc_id = s.doc_a JOIN sizes nb ON nb.doc_id = s.doc_b
+    WHERE round(s.shared * 1.0 / (na.n_sh + nb.n_sh - s.shared), 6) >= 0.5)"""
+
+ORACLES["dedup_minhash_lsh"] = f"""
+WITH {_LSH_PAIRS_CTES}
+SELECT doc_a, doc_b, CAST(round(j6 * 1e6) AS BIGINT) AS jaccard_e6 FROM lshp
+"""
+
+# connected components over the LSH near-dup graph via a recursive CTE:
+# every (node, reachable-label) pair is enumerated (fixture-scale closure),
+# keeper = min label per node — independent of the engine's iterative
+# min-label propagation
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+e AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+      UNION SELECT doc_b, doc_a FROM lshp),
+n AS (SELECT DISTINCT src AS node FROM e),
+cc(node, lbl) AS (
+    SELECT node, node FROM n
+    UNION
+    SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.node)
+SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS keeper FROM cc GROUP BY node
 """
 
 _SIMHASH = f"""
@@ -1580,6 +1612,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_sigs": q_minhash_sigs,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash_sigs": q_simhash_sigs,
     "dedup_simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,

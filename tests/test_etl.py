@@ -82,6 +82,27 @@ def test_wordlist_oa_branch(spark, geo):
     assert "Maple" in words
 
 
+def test_dup_clusters_connected_components(spark):
+    """Chain + star + singleton-pair topologies: every node labels with the
+    min doc_id of its component, regardless of edge direction or diameter."""
+    from geospark import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain: component keeper 1
+         (10, 11), (10, 12), (10, 13),  # star: keeper 10
+         (20, 21)],                     # pair: keeper 20
+        "doc_a long, doc_b long")
+    out = {r.doc_id: r.keeper for r in dedup.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+    # long chain converges (diameter > 2 requires multiple rounds)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(30, 40)],
+                                  "doc_a long, doc_b long")
+    outc = {r.doc_id: r.keeper for r in dedup.dup_clusters(chain).collect()}
+    assert set(outc.values()) == {30} and len(outc) == 11
+
+
 def test_jaccard_cap_drift(spark):
     """ADVICE r2: dedup_jaccard's max_df cap is a documented workload
     redefinition (capped-set Jaccard != true document Jaccard for pairs

@@ -58,6 +58,30 @@ def test_dedup_pair_generators_have_no_nested_loops(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_raster_plans_stay_jvm_and_narrow(spark, geo):
+    """rasterize/pool/vectorize must be pure-JVM plans (no Arrow/Python
+    eval — the grid keys and ring geometry are closed-form columns) with
+    hash aggregation (map-side combine), and zonal_stats must not
+    degenerate to a cartesian."""
+    from geospark import raster
+
+    h = geo["struct"]["struct_house"]
+    r = raster.rasterize(h, 15)
+    p = _plan(r)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "HashAggregate" in p
+
+    p13 = _plan(raster.pool(r, steps=2, res=15))
+    assert "ArrowEvalPython" not in p13 and "HashAggregate" in p13
+
+    pv = _plan(raster.vectorize(r, 15, F.col("n") >= 5))
+    assert "ArrowEvalPython" not in pv and "BatchEvalPython" not in pv
+
+    zones = geo["osm"]["osm_admin"].filter(F.col("admin_level") == 6)
+    pz = _plan(raster.zonal_stats(spark, r, zones, 15))
+    assert "CartesianProduct" not in pz
+
+
 def test_geocode_join_paths_have_no_cartesian(spark, geo):
     from geospark.forward import forward_geocode
     from geospark.reverse import reverse_geocode
