@@ -57,9 +57,15 @@ def main():
         IDENTICAL reverse job, and 46 s once under co-tenant load — see
         BENCH/BASELINE.md methodology). The min is the least-noise estimator
         of the true cost; every fn builds a FRESH plan per call so repeats
-        never read a cache. The full series is logged in queries_runs."""
+        never read a cache. When the two samples disagree >1.5x (a noise
+        burst hit one of them), one extra sample is taken. The full series
+        is logged in queries_runs."""
         out, runs = None, []
         for _ in range(repeat):
+            t0 = time.time()
+            out = fn()
+            runs.append(round(time.time() - t0, 3))
+        if repeat > 1 and max(runs) > 1.5 * min(runs):
             t0 = time.time()
             out = fn()
             runs.append(round(time.time() - t0, 3))

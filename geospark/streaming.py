@@ -95,6 +95,32 @@ def stream_running_doc_counts(docs: DataFrame, key_col: str = "lang") -> DataFra
     )
 
 
+def stream_rasterize(points: DataFrame, res: int, ts_col: str = "ts",
+                     window: str = "1 hour", watermark: str = "2 hours",
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Streaming raster tiles: per (event-time window, grid cell) point
+    counts over a point stream — the incremental face of raster.rasterize
+    (live density tiles from a geocoded event feed). Watermarked windowed
+    aggregation: late points beyond the watermark are dropped; state is
+    bounded by (windows in watermark horizon) x (active cells). Emits
+    (window_start, window_end, ix, iy, cell_id, n)."""
+    from .etl import grid_cols, morton_cell_col
+
+    gx, gy = grid_cols(F.col(x_col), F.col(y_col), res)
+    return (
+        points.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("ix", gx).withColumn("iy", gy)
+        .groupBy(F.window(ts_col, window).alias("w"), "ix", "iy")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "ix", "iy",
+                morton_cell_col(F.col("ix"), F.col("iy"), res).alias("cell_id"),
+                "n")
+    )
+
+
 def stream_event_windows(events: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window per-type aggregation over a streaming

@@ -115,6 +115,43 @@ def test_stream_dedup_windowed_bounded_state(spark, tmp_path):
     assert out.count() == 2
 
 
+def test_stream_rasterize_matches_batch(spark, geo, tmp_path):
+    """Streaming raster tiles == batch rasterize of the same points within
+    one event-time window (exactly-once via availableNow + checkpoint)."""
+    from geospark import raster, streaming
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("pts", "outr", "ckr"))
+    pts = geo["struct"]["struct_house"].select("x", "y") \
+        .withColumn("ts", F.lit("2024-01-01 10:15:00"))
+    pts.write.parquet(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema("x double, y double, ts string").parquet(in_dir)
+        q = (streaming.stream_rasterize(stream, res=15)
+             .writeStream.foreachBatch(
+                 lambda df, _id: df.write.mode("append").parquet(out_dir))
+             .outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt).start())
+        q.awaitTermination(300)
+
+    run_once()
+    # append mode emits a window only once the watermark passes its end —
+    # a later sentinel point advances the watermark and flushes the window
+    spark.createDataFrame([(0.0, 0.0, "2024-01-02 12:00:00")],
+                          "x double, y double, ts string") \
+        .write.mode("append").parquet(in_dir)
+    run_once()
+
+    out = spark.read.parquet(out_dir).filter("window_start = '2024-01-01 10:00:00'")
+    got = {(r.ix, r.iy): r.n for r in out.collect()}
+    want = {(r.ix, r.iy): r.n
+            for r in raster.rasterize(geo["struct"]["struct_house"], 15).collect()}
+    assert got == want
+    # cell ids carried by the stream match the batch op's Morton layout
+    assert {r.cell_id for r in out.collect()} == \
+           {r.cell_id for r in raster.rasterize(geo["struct"]["struct_house"], 15).collect()}
+
+
 def test_stream_running_doc_counts_stateful(spark, tmp_path):
     """applyInPandasWithState accumulates across micro-batches and restarts."""
     from geospark import streaming
