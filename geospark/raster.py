@@ -103,22 +103,43 @@ def vectorize(raster: DataFrame, res: int, predicate=None) -> DataFrame:
 
 
 def zonal_stats(spark, raster: DataFrame, polys: DataFrame, res: int,
-                id_key: str = "osm_id", rings_key: str = "rings") -> DataFrame:
+                id_key: str = "osm_id", rings_key: str = "rings",
+                method: str = "broadcast", tile_res: int = 8) -> DataFrame:
     """Per-polygon aggregates of the raster cells whose CENTER lies inside
-    the polygon: (zone id, n_cells, n_points). Polygons are dimension-sized
-    (broadcast prepared-geometry PIP, a narrow map over the raster — no
-    shuffle of the raster beyond its own groupBy); overlapping zones each
-    receive the cell, like the reference's PIP join multiplicity."""
-    from . import spatial
+    the polygon: (zone id, n_cells, n_points). Overlapping zones each
+    receive the cell, like the reference's PIP join multiplicity.
 
+    ``method='broadcast'`` (default): polygons are dimension-sized —
+    broadcast prepared-geometry PIP, a narrow map over the raster; the only
+    shuffle is the final zone groupBy.
+
+    ``method='tiled'``: for polygon sets too large to broadcast — the
+    shuffle-based tiled PIP join (tiling.tiled_pip_join): polygons explode
+    to covering cells at ``tile_res``, the equi-join on tile pairs
+    candidates, and the vectorized per-polygon kernel verifies. Same
+    results, one extra shuffle; use when |polys| breaks the broadcast
+    budget."""
     size = cell_mod.cell_size(res)
     cx = (F.col("ix") + F.lit(0.5)) * F.lit(size) - F.lit(L)
     cy = (F.col("iy") + F.lit(0.5)) * F.lit(size) - F.lit(L)
+    r = raster.withColumn("__cx", cx).withColumn("__cy", cy)
+
+    if method == "tiled":
+        from . import tiling
+
+        matched = tiling.tiled_pip_join(
+            spark, r.select("n", "__cx", "__cy"), polys, res=tile_res,
+            x_col="__cx", y_col="__cy", id_key=id_key, attr_key=id_key,
+            rings_key=rings_key, how="inner")
+        return (matched.groupBy(F.col("__pid").cast("string").alias("zone"))
+                .agg(F.count("*").alias("n_cells"), F.sum("n").alias("n_points")))
+
+    from . import spatial
+
     rows = polys.select(id_key, rings_key).withColumn("__attr", F.col(id_key).cast("string")) \
         .select(id_key, "__attr", rings_key).collect()
     prep = spatial.prepare_from_rows(rows, id_key=id_key, attr_key="__attr",
                                      rings_key=rings_key)
-    r = raster.withColumn("__cx", cx).withColumn("__cy", cy)
     r = r.withColumn("zone", F.explode(
         spatial.pip_match_col(spark, prep, "__cx", "__cy")))
     return (r.groupBy("zone")

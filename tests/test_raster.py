@@ -54,6 +54,19 @@ def test_vectorize_rings_are_cell_bounds(spark, geo):
     assert points_in_polygon(np.array([cx]), np.array([cy]), as_rings(row.rings))[0]
 
 
+def test_zonal_stats_tiled_equals_broadcast(spark, geo):
+    """The shuffle-based path (polygon sets beyond broadcast size) must
+    produce identical zonal aggregates to the broadcast prepared-geometry
+    path."""
+    zones = geo["osm"]["osm_admin"].filter(F.col("admin_level") == 6)
+    r = raster.rasterize(geo["struct"]["struct_house"], 15)
+    bc = {(row.zone, row.n_cells, row.n_points)
+          for row in raster.zonal_stats(spark, r, zones, 15).collect()}
+    tl = {(row.zone, row.n_cells, row.n_points)
+          for row in raster.zonal_stats(spark, r, zones, 15, method="tiled").collect()}
+    assert bc == tl and bc
+
+
 def test_zonal_stats_multiplicity_and_totals(spark, geo):
     """Overlapping zones each receive the cell (reference PIP-join
     multiplicity): the fixture's Overlap Special District (level 6) overlaps
