@@ -55,13 +55,21 @@ def pool(raster: DataFrame, steps: int = 1, res: int | None = None) -> DataFrame
     """Pyramid rollup: re-aggregate a rasterize() output ``steps`` levels
     coarser (each parent sums its 4^steps children) — a plain groupBy, no
     re-scan of the points. ``res``: the input raster's resolution; when None
-    it is read from the carried ``res`` column via a LIMIT-1 probe (fine
-    interactively; pass it explicitly in pipelines to avoid the extra job)."""
+    it is read from the carried ``res`` column via a small distinct probe
+    that FAILS on mixed-resolution input (a union of pyramid levels pooled
+    with one shift would silently mis-tag every Morton id). Fine
+    interactively; pass ``res`` explicitly in pipelines to avoid the extra
+    job."""
     if res is None:
-        row = raster.select("res").first()
-        if row is None:
+        rows = raster.select("res").distinct().limit(2).collect()
+        if not rows:
             return raster  # empty raster: nothing to pool
-        res = int(row[0])
+        if len(rows) > 1:
+            raise ValueError(
+                "pool(res=None) on mixed-resolution input "
+                f"(saw res {sorted(int(r[0]) for r in rows)}); filter to one "
+                "level or pass res explicitly")
+        res = int(rows[0][0])
     res_out = res - steps
     if res_out < 0:
         raise ValueError(f"cannot pool below resolution 0 (steps={steps})")

@@ -32,6 +32,16 @@ FORWARD_RADIUS_M = 20_000
 FORWARD_LIMIT = 20
 
 
+def _is_latlon_pair(v, optional: bool = False) -> bool:
+    """True when ``v`` is a 2-element numeric (non-bool) sequence; with
+    ``optional`` a None also passes (absent center)."""
+    if v is None:
+        return optional
+    if not isinstance(v, (list, tuple)) or len(v) != 2:
+        return False
+    return all(isinstance(c, (int, float)) and not isinstance(c, bool) for c in v)
+
+
 class GeocoderService:
     """Driver-side request handlers over a built geo_state session."""
 
@@ -121,13 +131,16 @@ def make_server(service: GeocoderService, host: str = "127.0.0.1",
                 return self._reply(400, {"error": {"code": 400, "message": "Bad request"}})
 
             if self.path == "/forward":
-                if data.get("address") is None:
+                # malformed 'center' must 400 like any other bad body — not
+                # surface as an unhandled exception mid-dispatch (ADVICE r3)
+                center = data.get("center")
+                if data.get("address") is None or not _is_latlon_pair(center, optional=True):
                     return self._reply(400, {"error": {"code": 400, "message": "Bad request"}})
                 return self._reply(200, service.forward(
-                    data["address"], center=data.get("center"),
+                    data["address"], center=center,
                     country=data.get("country")))
             if self.path == "/reverse":
-                if data.get("lat") is None or data.get("lon") is None:
+                if not _is_latlon_pair([data.get("lat"), data.get("lon")]):
                     return self._reply(400, {"error": {"code": 400, "message": "Bad request"}})
                 res = service.reverse(data["lat"], data["lon"])
                 if res is None:  # reference: 404 {"error": {...}} (service:80)

@@ -29,6 +29,19 @@ def test_pool_is_exact_pyramid(spark, geo):
            sorted((row.ix, row.iy, row.n) for row in r13b.collect())
 
 
+def test_pool_rejects_mixed_resolution_inference(spark, geo):
+    """pool(res=None) on a union of pyramid levels must raise instead of
+    pooling with an arbitrary level's shift (ADVICE r3)."""
+    import pytest
+
+    r15 = raster.rasterize(geo["struct"]["struct_house"], 15)
+    mixed = r15.unionByName(raster.pool(r15, steps=2, res=15))
+    with pytest.raises(ValueError, match="mixed-resolution"):
+        raster.pool(mixed, steps=1)
+    # explicit res still works on a filtered level
+    assert raster.pool(mixed.filter("res = 13"), steps=1, res=13).count() > 0
+
+
 def test_vectorize_rings_are_cell_bounds(spark, geo):
     import numpy as np
 

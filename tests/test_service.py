@@ -74,3 +74,21 @@ def test_bad_requests(server):
         assert status == 400, path
     status, _ = _post(f"{server}/nope", {"x": 1})
     assert status == 404
+
+
+def test_malformed_center_and_coords_return_400(server):
+    """A malformed 'center' (or non-numeric lat/lon) must produce a clean
+    reference-style 400, not an unhandled exception mid-dispatch (ADVICE
+    r3)."""
+    bad_centers = ["47,9", [47.0], [47.0, 9.0, 1.0], [True, False],
+                   ["47", "9"], {"lat": 47.0, "lon": 9.0}]
+    for c in bad_centers:
+        status, body = _post(f"{server}/forward", {"address": "Main Street", "center": c})
+        assert status == 400, c
+        assert body["error"]["code"] == 400
+    status, _ = _post(f"{server}/reverse", {"lat": "47.4", "lon": 9.2})
+    assert status == 400
+    # a well-formed center still geocodes
+    status, body = _post(f"{server}/forward",
+                         {"address": "Main Street", "center": [47.4, 9.2]})
+    assert status == 200 and isinstance(body, list)

@@ -134,6 +134,46 @@ def test_verify_kernel_empty_and_unsorted():
     assert out.tolist() == [False, True, True, False]
 
 
+def test_tiled_pip_left_join_identity(spark):
+    """how='left' must identify points by a carried surrogate id — NOT by
+    (x, y) float equality (round-3 verdict wrong-item 1): two DISTINCT
+    points sharing coordinates each keep their own output row, matched
+    points appear once per containing polygon, unmatched once with NULL
+    attrs."""
+    poly = spark.createDataFrame(
+        [(1, "zoneA",
+          [[[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 100.0], [0.0, 0.0]]],
+          0.0, 0.0, 100.0, 100.0)],
+        "osm_id long, name string, rings array<array<array<double>>>, "
+        "xmin double, ymin double, xmax double, ymax double")
+    pts = spark.createDataFrame(
+        [  # two distinct points at IDENTICAL matched coordinates
+            (1, 50.0, 50.0), (2, 50.0, 50.0),
+            # two distinct points at IDENTICAL unmatched coordinates
+            (3, 500.0, 500.0), (4, 500.0, 500.0),
+            # ordinary matched / unmatched singletons
+            (5, 10.0, 10.0), (6, -300.0, -300.0),
+        ], "pt long, x double, y double")
+    out = tiling.tiled_pip_join(spark, pts, poly, res=6, how="left").collect()
+    got = sorted((r.pt, r["__attr"]) for r in out)
+    assert got == [(1, "zoneA"), (2, "zoneA"), (3, None), (4, None),
+                   (5, "zoneA"), (6, None)]
+
+
+def test_adaptive_cells_rejects_mixed_resolution(spark, geo):
+    """A hot-cell map mixing resolutions must fail loudly — the split kernel
+    reads the resolution off one member, so mixing would silently mis-encode
+    children (ADVICE r3)."""
+    import pytest
+
+    h = geo["struct"]["struct_house"]
+    mixed = {(15 << 53) + 5: 10, (17 << 53) + 9: 10}
+    with pytest.raises(ValueError, match="mixes resolutions"):
+        tiling.adaptive_cells(spark, h, mixed)
+    with pytest.raises(ValueError, match="mixes resolutions"):
+        tiling.adaptive_query_cells(spark, mixed)
+
+
 def test_tiled_pip_join_matches_broadcast(spark, geo):
     """The shuffle path (polygons too big to broadcast) must produce the
     same point->polygon pairs as the broadcast prepared-geometry path."""
