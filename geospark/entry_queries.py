@@ -1693,20 +1693,27 @@ def q_forward_unstructured(spark, sf_dir):
 
 
 def _unstructured_fq_cte() -> str:
+    """Expansion + split recomputed independently: the DuckDB side runs the
+    SAME committed rule table (postal.expand_term_sql, RE2 regexes) over the
+    raw search_term before the splitter regex — so the engine's Java-regex
+    expansion is cross-checked by an RE2 recompute, then both flow through
+    the identical parse/trigram/ranking dataflow."""
+    from . import postal
     from .mine import ADDR_RE
 
     a = ("^" + ADDR_RE + "$").replace("'", "''")
+    xt = postal.expand_term_sql("search_term")
     return f"""
     SELECT query_id,
-           CASE WHEN regexp_extract(search_term, '{a}', 1) <> ''
-                THEN regexp_extract(search_term, '{a}', 1) ELSE search_term END AS q_road,
-           nullif(regexp_extract(search_term, '{a}', 2), '') AS q_hn,
-           nullif(regexp_extract(search_term, '{a}', 3), '') AS q_pc,
-           nullif(regexp_extract(search_term, '{a}', 4), '') AS q_city,
+           CASE WHEN regexp_extract(xterm, '{a}', 1) <> ''
+                THEN regexp_extract(xterm, '{a}', 1) ELSE xterm END AS q_road,
+           nullif(regexp_extract(xterm, '{a}', 2), '') AS q_hn,
+           nullif(regexp_extract(xterm, '{a}', 3), '') AS q_pc,
+           nullif(regexp_extract(xterm, '{a}', 4), '') AS q_city,
            country, "limit", radius::DOUBLE AS radius,
            CASE WHEN center_lat IS NOT NULL THEN radians(center_lon) * 6378137.0 END AS qx,
            CASE WHEN center_lat IS NOT NULL THEN ln(tan(pi() / 4 + radians(center_lat) / 2)) * 6378137.0 END AS qy
-    FROM {_pq('unstructured_queries')}"""
+    FROM (SELECT *, {xt} AS xterm FROM {_pq('unstructured_queries')})"""
 
 
 ORACLES["forward_unstructured"] = forward_oracle_sql(_unstructured_fq_cte())

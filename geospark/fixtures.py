@@ -469,6 +469,16 @@ def build_queries():
              country=None, center_lat=None, center_lon=None, radius=20000, limit=20),
         dict(query_id=4, search_term="complete gibberish nowhere",
              country=None, center_lat=None, center_lon=None, radius=20000, limit=10),
+        # abbreviated variants — the libpostal /expand stage (postal.py rule
+        # table) must recover the exact unabbreviated parses above
+        dict(query_id=5, search_term="Georgenstr. 34, 92224 Amberg",  # de glued suffix + '.'
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=10),
+        dict(query_id=6, search_term="Hauptstr 5, 95505 Dickenreuth",  # de suffix, no '.'
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=10),
+        dict(query_id=7, search_term="123 Main St",  # en standalone; unparsed → whole as road
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=20),
+        dict(query_id=8, search_term="Bahnhofstr. 3",  # expansion inside the road fallback
+             country=None, center_lat=None, center_lon=None, radius=20000, limit=20),
     ]
     predict = [
         dict(query_id=1, input="Dickenr"),

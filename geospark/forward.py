@@ -95,32 +95,43 @@ def _country_filter_col(spark, tables: GeocoderTables, q: DataFrame):
     return _inside
 
 
-def split_address_cols(df: DataFrame, term_col: str = "search_term") -> DataFrame:
-    """The libpostal /split stage (bin/postal_service.py:39-65) replaced by a
-    JVM regexp splitter with the reference's documented fallback: when the
-    term doesn't parse, the WHOLE string becomes the road
-    (osmgeocoder/forward.py:47-49). Parsed shape: 'road hn, pc city'."""
+def split_address_cols(df: DataFrame, term_col: str = "search_term",
+                       expand: bool = True) -> DataFrame:
+    """The libpostal /split stage (bin/postal_service.py:39-65) replaced by
+    the canonical rule-table expansion (postal.expand_term_col — libpostal
+    runs expand_address FIRST, then parses the first variant,
+    osmgeocoder/forward.py:43-46) followed by a JVM regexp splitter with the
+    reference's documented fallback: when the expanded term doesn't parse,
+    the WHOLE string becomes the road (osmgeocoder/forward.py:47-49).
+    Parsed shape: 'road hn, pc city'. ``expand=False`` reproduces the
+    reference's no-postal-service fallback (raw term, abbreviations rely on
+    trigram tolerance alone)."""
+    from . import postal
     from .mine import ADDR_RE
 
     anchored = "^" + ADDR_RE + "$"
-    parsed = F.regexp_extract(F.col(term_col), anchored, 1)
+    term = postal.expand_term_col(F.col(term_col)) if expand else F.col(term_col)
+    df = df.withColumn("__xterm", term)
+    parsed = F.regexp_extract(F.col("__xterm"), anchored, 1)
     return df.withColumn(
-        "road", F.when(parsed != "", parsed).otherwise(F.col(term_col))
+        "road", F.when(parsed != "", parsed).otherwise(F.col("__xterm"))
     ).withColumn(
-        "house_number", F.nullif(F.regexp_extract(F.col(term_col), anchored, 2), F.lit(""))
+        "house_number", F.nullif(F.regexp_extract(F.col("__xterm"), anchored, 2), F.lit(""))
     ).withColumn(
-        "postcode", F.nullif(F.regexp_extract(F.col(term_col), anchored, 3), F.lit(""))
+        "postcode", F.nullif(F.regexp_extract(F.col("__xterm"), anchored, 3), F.lit(""))
     ).withColumn(
-        "city", F.nullif(F.regexp_extract(F.col(term_col), anchored, 4), F.lit(""))
-    )
+        "city", F.nullif(F.regexp_extract(F.col("__xterm"), anchored, 4), F.lit(""))
+    ).drop("__xterm")
 
 
-def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFrame) -> DataFrame:
+def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFrame,
+                                 expand: bool = True) -> DataFrame:
     """Geocoder.forward(address, ...) (osmgeocoder/geocoder.py:46-76):
-    unstructured search strings split then geocoded. ``queries``:
+    unstructured search strings expanded (libpostal /expand semantics,
+    ``geospark.postal``), split, then geocoded. ``queries``:
     (query_id, search_term, country, center_lat, center_lon, radius, limit).
     """
-    return forward_geocode(spark, tables, split_address_cols(queries))
+    return forward_geocode(spark, tables, split_address_cols(queries, expand=expand))
 
 
 def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,

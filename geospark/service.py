@@ -3,15 +3,27 @@
 the Spark engine with a stdlib ThreadingHTTPServer (no Flask in this
 environment, and the service is a driver-side convenience anyway — the
 cluster-scale surface is the batch DataFrame API; each request here runs a
-1-row query batch through the same plans the batch path uses).
+1-row query batch through the same plans the batch path uses), plus the
+postal sidecar's /split /expand /normalize (bin/postal_service.py:22-85)
+over the committed rule table (geospark.postal) instead of libpostal.
 
 Request/response shapes mirror the reference exactly:
-  POST /forward  {"address": str, "center": [lat, lon]?, "country": str?}
+  POST /forward   {"address": str, "center": [lat, lon]?, "country": str?}
       -> [{"address": str, "lat": float, "lon": float}, ...]
-  POST /reverse  {"lat": float, "lon": float}
+  POST /reverse   {"lat": float, "lon": float}
       -> {"address": str} | 404 {"error": {...}}
-  POST /predict  {"query": str}
+  POST /predict   {"query": str}
       -> {"predictions": [str, ...]}
+  POST /split     {"query": str, "language": str?, "country": str?}
+      -> [{"road": ..., "house_number": ..., ...}, ...]   (postal_service:39-65)
+  POST /expand    {"query": str, "languages": [str]?}
+      -> [[token, ...], ...]                              (postal_service:67-85)
+  POST /normalize {"query": str, "languages": [str]?}
+      -> {kind: [token, ...], ...}                        (postal_service:22-37)
+The postal endpoints return ONE canonical variant where libpostal returns
+many — the deterministic rule-table choice documented in geospark.postal
+(the reference geocoder consumes only response.json()[0] anyway,
+osmgeocoder/forward.py:43-46).
 Malformed/non-JSON bodies -> 400, like the reference's ``abort(400)``.
 """
 
@@ -95,6 +107,51 @@ class GeocoderService:
         ordered = sorted(rows, key=lambda r: (r.dist, -r.ct, len(r.word), r.word))
         return {"predictions": [r.word for r in ordered]}
 
+    # -- postal sidecar endpoints (no Spark involved: pure rule table) ------
+
+    @staticmethod
+    def _locales(data) -> set | None:
+        langs = data.get("languages") or (
+            [data["language"]] if data.get("language") else None)
+        return set(langs) if langs else None
+
+    @staticmethod
+    def split(query: str, locales: set | None = None,
+              country: str | None = None) -> list[dict]:
+        """/split: expand, then parse the canonical variant with the same
+        'road hn, pc city' grammar the batch splitter uses
+        (forward.split_address_cols); unparsed -> whole term as road, the
+        reference's documented fallback. ``country`` is accepted for shape
+        parity (libpostal uses it as a parser hint; the rule parse doesn't)."""
+        import re as _re
+
+        from .mine import ADDR_RE
+        from .postal import expand_address
+
+        term = expand_address(query, locales)
+        m = _re.match("^" + ADDR_RE + "$", term)
+        if not m:
+            return [{"road": term}]
+        parts = dict(zip(("road", "house_number", "postcode", "city"), m.groups()))
+        return [{k: v for k, v in parts.items() if v}]
+
+    @staticmethod
+    def expand(query: str, locales: set | None = None) -> list[list[str]]:
+        from .postal import expand_address, tokenize
+
+        return [tokenize(expand_address(query, locales).lower())]
+
+    @staticmethod
+    def normalize(query: str, locales: set | None = None) -> dict:
+        """/normalize: {kind: [token, ...]} like the reference's
+        token-class-keyed dict (postal_service.py:30-36)."""
+        from .postal import normalized_tokens
+
+        out: dict[str, list[str]] = {}
+        for value, kind in normalized_tokens(query, locales):
+            out.setdefault(kind, []).append(value)
+        return out
+
     @staticmethod
     def _format(row) -> str:
         return formatter.format_address({
@@ -150,6 +207,16 @@ def make_server(service: GeocoderService, host: str = "127.0.0.1",
                 if data.get("query") is None:
                     return self._reply(400, {"error": {"code": 400, "message": "Bad request"}})
                 return self._reply(200, service.predict(data["query"]))
+            if self.path in ("/split", "/expand", "/normalize"):
+                if not isinstance(data.get("query"), str):
+                    return self._reply(400, {"error": {"code": 400, "message": "Bad request"}})
+                locales = service._locales(data)
+                if self.path == "/split":
+                    return self._reply(200, service.split(
+                        data["query"], locales, country=data.get("country")))
+                if self.path == "/expand":
+                    return self._reply(200, service.expand(data["query"], locales))
+                return self._reply(200, service.normalize(data["query"], locales))
             return self._reply(404, {"error": {"code": 404, "message": "Not found"}})
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -169,3 +169,89 @@ def test_partition_invariance(spark, geo):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert base == alt
+
+
+def _unstructured(spark, geo, term, limit=20, expand=True):
+    from geospark.forward import forward_geocode_unstructured
+
+    q = spark.createDataFrame(
+        [(1, term, None, None, None, 20000, limit)],
+        "query_id long, search_term string, country string, center_lat double, "
+        "center_lon double, radius int, limit int")
+    return forward_geocode_unstructured(spark, geo["tables"], q, expand=expand)
+
+
+def test_expansion_finds_abbreviated_streets(spark, geo):
+    """The libpostal /expand stage (VERDICT r3 next-round #1): abbreviated
+    unstructured queries must land on the full street names."""
+    # "123 Main St" doesn't parse as 'road hn, pc city' → whole expanded
+    # string becomes the road; trigram match reaches "Main Street"
+    rows = _unstructured(spark, geo, "123 Main St").collect()
+    assert rows and all(r.road == "Main Street" for r in rows)
+
+    # German glued-suffix abbreviation, parsed form: exact same result rows
+    # as the unabbreviated query
+    abbr = _unstructured(spark, geo, "Hauptstr. 5, 95505 Dickenreuth", limit=10).collect()
+    full = _unstructured(spark, geo, "Hauptstraße 5, 95505 Dickenreuth", limit=10).collect()
+    key = lambda r: (r.road, r.house_number, r.postcode, r.city, r.x, r.y)
+    assert sorted(map(key, abbr)) == sorted(map(key, full)) and abbr
+    assert abbr[0].road == "Hauptstraße"
+
+    # expand=False reproduces the reference's no-postal fallback (raw term,
+    # trigram tolerance alone): the abbreviated German query doesn't parse
+    # ('.' not a road char), the whole raw string becomes the road, its
+    # similarity to "Hauptstraße" falls under 0.3, and the CITY name leaking
+    # into the road trigrams drags every result onto the wrong street
+    # ("Dickenreuther Weg"). Expansion is what recovers the true match —
+    # exactly libpostal's recall contribution.
+    raw_de = _unstructured(spark, geo, "Hauptstr. 5, 95505 Dickenreuth",
+                           expand=False).collect()
+    assert raw_de and all(r.road != "Hauptstraße" for r in raw_de)
+    # where trigram tolerance already suffices, expansion must still WIN on
+    # match quality: the expanded road is strictly closer to the true name
+    raw = _unstructured(spark, geo, "123 Main St", expand=False).collect()
+    assert raw and min(r.trgm_dist for r in rows) < min(r.trgm_dist for r in raw)
+
+
+def test_expansion_cross_engine_equivalence(spark):
+    """The rule table must expand IDENTICALLY in all three engines: Spark
+    (Java regex, batch path), DuckDB (RE2, oracle), Python (re, service) —
+    pinned over abbreviations, no-op inputs, unicode stems, case variants,
+    and multi-rule strings."""
+    import duckdb
+
+    from geospark import postal
+
+    samples = [
+        "Georgenstr. 34, 92224 Amberg", "Hauptstr 5, 95505 Dickenreuth",
+        "123 Main St", "Main St.", "Bahnhofstr. 3", "Königstr. 7, 80331 München",
+        "5th Ave Apt 3B", "Ste 100, 200 Oak Blvd", "Georgenstraße 34",
+        "Strasse des 17. Juni", "st st st", "STR 9", "Nr. 5", "Mt Everest Rd",
+        "Pl. de la Concorde", "complete gibberish nowhere", "", "12345",
+        "Höhenweg 3", "Östr 1",
+        # \b landmines: unicode-adjacent abbreviation lookalikes (Java/Python
+        # word boundaries are unicode-aware, RE2's ASCII — explicit delimiter
+        # classes must keep all three engines identical here)
+        "Wüst 3", "Strümpfelbach", "Großstadtstr. 9", "Ernst-Reuter-Pl",
+        # same-rule adjacency (consumed delimiter → second-pass rule)
+        "st st", "Hauptstr Georgenstr", "Apt Apt 5", "St.St. 2",
+        # delimiters: hyphen/slash/comma tails, '.' not followed by space
+        "Oak Ln-West", "Main St/Church Rd", "Mühlenstr.,Altstadt", "St.5",
+    ]
+    py = [postal.expand_address(s) for s in samples]
+    con = duckdb.connect()
+    db = [con.execute(f"SELECT {postal.expand_term_sql('?')}", [s]).fetchone()[0]
+          for s in samples]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    sp_rows = sdf.select("i", postal.expand_term_col(F.col("t")).alias("x")).collect()
+    sp = [r.x for r in sorted(sp_rows, key=lambda r: r.i)]
+    assert py == db == sp, [t for t in zip(samples, py, db, sp) if len(set(t[1:])) > 1]
+
+
+def test_normalized_tokens_and_tokenize():
+    from geospark import postal
+
+    assert postal.tokenize("Hauptstr. 5, 95505 X") == ["Hauptstr", "5", "95505", "X"]
+    toks = postal.normalized_tokens("Georgenstr. 34b, 92224 Amberg")
+    assert toks == [("georgenstraße", "word"), ("34b", "alphanumeric"),
+                    ("92224", "numeric"), ("amberg", "word")]

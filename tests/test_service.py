@@ -92,3 +92,35 @@ def test_malformed_center_and_coords_return_400(server):
     status, body = _post(f"{server}/forward",
                          {"address": "Main Street", "center": [47.4, 9.2]})
     assert status == 200 and isinstance(body, list)
+
+
+def test_postal_sidecar_endpoints(server):
+    """/split /expand /normalize (bin/postal_service.py:22-85) round-trip
+    with the reference JSON shapes over the committed rule table."""
+    # /split: expansion + parse of the canonical variant
+    status, body = _post(f"{server}/split", {"query": "Georgenstr. 34, 92224 Amberg"})
+    assert status == 200
+    assert body == [{"road": "Georgenstraße", "house_number": "34",
+                     "postcode": "92224", "city": "Amberg"}]
+    # unparsed → whole expanded term as road (reference fallback shape)
+    status, body = _post(f"{server}/split", {"query": "123 Main St"})
+    assert status == 200 and body == [{"road": "123 Main street"}]
+
+    # /expand: list of token lists (lowercased, like libpostal)
+    status, body = _post(f"{server}/expand", {"query": "Main St Apt 3"})
+    assert status == 200 and body == [["main", "street", "apartment", "3"]]
+    # language restriction: German-only rules leave English abbrevs alone
+    status, body = _post(f"{server}/expand",
+                         {"query": "Main St", "languages": ["de"]})
+    assert status == 200 and body == [["main", "st"]]
+
+    # /normalize: token-class-keyed dict
+    status, body = _post(f"{server}/normalize", {"query": "Hauptstr. 34b, 92224"})
+    assert status == 200
+    assert body == {"word": ["hauptstraße"], "alphanumeric": ["34b"],
+                    "numeric": ["92224"]}
+
+    # missing/non-string query → 400 on all three
+    for path in ("/split", "/expand", "/normalize"):
+        status, _ = _post(f"{server}{path}", {"query": 5})
+        assert status == 400, path
