@@ -260,8 +260,23 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     candidate) + exact popcount verification; band layout sized so recall is
     exact for the requested ``max_hamming`` (max_hamming+1 disjoint chunks —
     note candidate selectivity drops as max_hamming grows: 63/(h+1)-bit
-    buckets). (doc_a, doc_b, hamming)."""
-    sig = simhash_signatures(docs)
+    buckets). (doc_a, doc_b, hamming).
+
+    OPERATING ENVELOPE (measured, scripts/simhash_stress.py + SCALE.md):
+    candidate fan-out is Σ_bands Σ_buckets C(n,2) ≈ (h+1)·N²/2^(63/(h+1)+1)
+    on uniform signatures — at N=10^6 that is ~46M pairs for h=3 (verified
+    end-to-end in ~1 min on local[32]) but ~2.3G pairs for h=5 (10-11-bit
+    buckets): h=5 is quadratic-ugly at megascale and topic-skewed corpora
+    concentrate it further into hot buckets. Advertised support is
+    h <= 3 at corpus scale; larger h requires pre-partitioning (shard by a
+    few signature bits and run per shard) or a multi-probe scheme."""
+    return simhash_pairs_from_signatures(simhash_signatures(docs), max_hamming)
+
+
+def simhash_pairs_from_signatures(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The banding + verify stage over precomputed (doc_id, simhash) rows —
+    the entry pipelines with stored signatures (and the stress harness)
+    use."""
     banded = sig.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -1,0 +1,122 @@
+"""Simhash band-skew stress (VERDICT r3 next-round #7): quantify the
+banding selectivity collapse as max_hamming grows, at 10^6 documents.
+
+Signatures are synthesized directly (the stress isolates the BANDING
+stage; signature computation is a separate, linear-cost op):
+
+  * 90% background: uniform random 63-bit signatures — the best case for
+    banding (buckets are balanced by construction);
+  * 10% topical: drawn around 20 "topic" signatures with ~8 random bit
+    flips each — the realistic skew case (real corpora cluster by topic,
+    concentrating band values into hot buckets).
+
+For each max_hamming we report, per band layout
+(``dedup.simhash_band_offsets``):
+  * bucket count, mean/max bucket size (skew evidence),
+  * candidate-pair count Σ_bands Σ_buckets C(n,2) — computed EXACTLY from
+    the bucket histogram (no join needed: this is the number of pair rows
+    the candidate join would emit before cross-band dedup),
+  * for layouts whose fan-out is tractable (h=3), the measured wall time
+    of the REAL candidate join + popcount verify via
+    ``dedup.simhash_pairs_from_signatures`` and the surviving pair count.
+
+Writes one JSON line per layout and BENCH/simhash_stress.json; SCALE.md
+summarizes the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("SIMHASH_STRESS_DOCS", 1_000_000))
+JOIN_BUDGET_PAIRS = 200_000_000  # run the real verify join only below this
+
+
+def synth_signatures(n: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    # uniform 63-bit background
+    sig = rng.randint(0, 1 << 62, size=n, dtype=np.int64) * 2 + rng.randint(
+        0, 2, size=n).astype(np.int64)
+    sig &= (1 << 63) - 1
+    # topical cluster: 10% of docs near 20 topic signatures (~8 bit flips)
+    n_topical = n // 10
+    topics = rng.randint(0, 1 << 62, size=20, dtype=np.int64) * 2
+    pick = topics[rng.randint(0, len(topics), n_topical)]
+    flips = np.zeros(n_topical, dtype=np.int64)
+    for _ in range(8):
+        flips ^= np.int64(1) << rng.randint(0, 63, n_topical).astype(np.int64)
+    sig[:n_topical] = (pick ^ flips) & ((1 << 63) - 1)
+    return sig
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from geospark import dedup
+    from geospark.session import get_spark
+
+    spark = get_spark("simhash-stress", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sigs = synth_signatures(N_DOCS)
+    import pandas as pd
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(N_DOCS, dtype=np.int64), "simhash": sigs})
+    ).repartition(64).cache()
+    sdf.count()
+
+    results = []
+    for h in (3, 5):
+        offsets = dedup.simhash_band_offsets(h)
+        per_band = []
+        total_pairs = 0
+        largest = 0
+        for i, (s, w) in enumerate(offsets):
+            hist = (sdf.groupBy(F.shiftright("simhash", s).bitwiseAND((1 << w) - 1)
+                                .alias("b"))
+                    .agg(F.count("*").alias("n"))
+                    .agg(F.count("*").alias("buckets"),
+                         F.max("n").alias("max_n"),
+                         F.avg("n").alias("mean_n"),
+                         F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs"))
+                    .first())
+            per_band.append({"band": i, "width_bits": w,
+                             "buckets": int(hist["buckets"]),
+                             "max_bucket": int(hist["max_n"]),
+                             "mean_bucket": round(float(hist["mean_n"]), 2),
+                             "cand_pairs": int(hist["pairs"])})
+            total_pairs += int(hist["pairs"])
+            largest = max(largest, int(hist["max_n"]))
+        entry = {"max_hamming": h, "n_docs": N_DOCS,
+                 "bands": per_band,
+                 "largest_band_bucket": largest,
+                 "cand_pairs_total": total_pairs}
+        if total_pairs <= JOIN_BUDGET_PAIRS:
+            t0 = time.time()
+            survivors = dedup.simhash_pairs_from_signatures(sdf, max_hamming=h).count()
+            entry["verify_join_sec"] = round(time.time() - t0, 1)
+            entry["pairs_within_hamming"] = int(survivors)
+        else:
+            entry["verify_join_sec"] = None
+            entry["note"] = (f"candidate fan-out {total_pairs:,} exceeds the "
+                             f"{JOIN_BUDGET_PAIRS:,} join budget — not run "
+                             "(that is the finding)")
+        results.append(entry)
+        print(json.dumps(entry))
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "BENCH", "simhash_stress.json")
+    with open(out, "w") as fp:
+        json.dump({"n_docs": N_DOCS, "results": results}, fp, indent=1)
+    print(f"written: {out}")
+
+
+if __name__ == "__main__":
+    main()
