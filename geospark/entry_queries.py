@@ -1718,8 +1718,31 @@ def _unstructured_fq_cte() -> str:
 
 ORACLES["forward_unstructured"] = forward_oracle_sql(_unstructured_fq_cte())
 
+
+def q_postal_expand(spark, sf_dir):
+    """S8 (bin/postal_service.py /expand): the canonical rule-table
+    expansion of each unstructured search term, as its own checked surface —
+    the Spark (Java regex) chain vs the DuckDB (RE2) recompute."""
+    from . import postal
+
+    q = spark.read.parquet(f"{FIX}/unstructured_queries.parquet")
+    return q.select("query_id", "search_term",
+                    postal.expand_term_col(F.col("search_term")).alias("expanded"))
+
+
+def _postal_expand_oracle() -> str:
+    from . import postal
+
+    return f"""
+SELECT query_id, search_term, {postal.expand_term_sql('search_term')} AS expanded
+FROM {_pq('unstructured_queries')}"""
+
+
+ORACLES["postal_expand"] = _postal_expand_oracle()
+
 QUERIES["osm_source_filter"] = q_osm_source_filter
 QUERIES["forward_unstructured"] = q_forward_unstructured
+QUERIES["postal_expand"] = q_postal_expand
 
 
 def q_oa_city_final(spark, sf_dir):

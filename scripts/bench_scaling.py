@@ -67,61 +67,80 @@ def worker(cpus: int) -> None:
     # warm Python workers / codegen once on a small slice
     mine.geocode_pages(spark, tables, pages.limit(512)).count()
 
-    best, n_out = None, 0
+    samples, n_out = [], 0
     runs = int(os.environ.get("GEOSPARK_SCALING_RUNS", "3"))
-    for _ in range(runs):  # best-of-N: drop warmup / noisy-host outliers
+    for _ in range(runs):
         t0 = time.time()
         n_out = mine.geocode_pages(spark, tables, pages).count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
+        samples.append(round(time.time() - t0, 3))
     print(json.dumps({"cpus": cpus, "pages": n_pages, "rows_out": n_out,
-                      "seconds": round(best, 3),
-                      "pages_per_sec": round(n_pages / best, 1)}))
+                      "seconds_runs": samples,
+                      "seconds": min(samples),
+                      "pages_per_sec": round(n_pages / min(samples), 1)}))
 
 
 def main() -> None:
-    # INTERLEAVED worker launches (small, big, small, big): the sandbox host
-    # has sizeable run-to-run noise (measured 27 s vs 53 s for identical
-    # local[16] runs); alternating configs and keeping the best per config
-    # cancels slow drift that a sequential A-then-B measurement would bake
-    # into the ratio
-    results = {}
+    # INTERLEAVED, SYMMETRIC worker launches (small, big, small, big): the
+    # sandbox host has sizeable run-to-run noise (measured 27 s vs 53 s for
+    # identical local[16] runs); alternating configs cancels slow drift, and
+    # an equal launch count per config avoids biasing the min of whichever
+    # side got more draws (ADVICE r3). All samples are pooled per config and
+    # BOTH estimators are reported; the PASS claim is based on the MEDIAN —
+    # robust to a single lucky/unlucky sample — with the min shown alongside
+    # as the least-contaminated estimate of the engine's own cost.
+    import statistics
+
+    samples: dict[int, list[float]] = {N_SMALL: [], N_BIG: []}
+    pages = rows_out = 0
     for cpus in (N_SMALL, N_BIG, N_SMALL, N_BIG):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
             capture_output=True, text=True, cwd=os.path.dirname(BENCH_ROOT), check=True)
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
-        if cpus not in results or r["seconds"] < results[cpus]["seconds"]:
-            results[cpus] = r
+        samples[cpus].extend(r["seconds_runs"])
+        pages, rows_out = r["pages"], r["rows_out"]
         print(line)
 
-    r8, r32 = results[N_SMALL], results[N_BIG]
-    speedup = r8["seconds"] / r32["seconds"]
-    efficiency = speedup / (N_BIG / N_SMALL)
+    est = {}
+    for cpus, runs in samples.items():
+        est[cpus] = {"runs": runs, "min": min(runs),
+                     "median": round(statistics.median(runs), 3),
+                     "pages_per_sec_min": round(pages / min(runs), 1),
+                     "pages_per_sec_median": round(pages / statistics.median(runs), 1)}
+    ratio = N_BIG / N_SMALL
+    eff_min = est[N_SMALL]["min"] / est[N_BIG]["min"] / ratio
+    eff_med = est[N_SMALL]["median"] / est[N_BIG]["median"] / ratio
     summary = {
         "job": "geocode_pages (extract -> mine -> forward+reverse geocode join)",
         "sf": SF,
-        "pages": r8["pages"],
-        f"local[{N_SMALL}]": r8,
-        f"local[{N_BIG}]": r32,
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(efficiency, 3),
+        "pages": pages,
+        "rows_out": rows_out,
+        f"local[{N_SMALL}]": est[N_SMALL],
+        f"local[{N_BIG}]": est[N_BIG],
+        "scaling_efficiency_min": round(eff_min, 3),
+        "scaling_efficiency_median": round(eff_med, 3),
         "target": 0.8,
-        "pass": efficiency >= 0.8,
+        # the robust estimator carries the claim (ADVICE r3)
+        "pass": eff_med >= 0.8,
     }
     os.makedirs(BENCH_ROOT, exist_ok=True)
     with open(os.path.join(BENCH_ROOT, "scaling.json"), "w") as fp:
         json.dump(summary, fp, indent=1)
-    # preserve hand-written sections below the scaling block (timing
-    # methodology, workload-redefinition notes, ...) across rewrites
+    # preserve hand-written sections below the scaling block (quiet-host
+    # reference line, timing methodology, workload-redefinition notes, ...)
+    # across rewrites — everything after the explicit marker survives
+    MARKER = "<!-- hand-maintained below: bench_scaling.py preserves from here -->"
     extra = ""
     baseline_path = os.path.join(BENCH_ROOT, "BASELINE.md")
     if os.path.exists(baseline_path):
         old = open(baseline_path).read()
-        cut = old.find("\n## Timing methodology")
+        cut = old.find(MARKER)
+        if cut < 0:
+            cut = old.find("\n## Timing methodology")
         if cut >= 0:
-            extra = old[cut:]
+            extra = old[cut:].removeprefix(MARKER)
+    es, eb = est[N_SMALL], est[N_BIG]
     with open(baseline_path, "w") as fp:
         fp.write(f"""# BENCH/BASELINE — measured numbers for this engine
 
@@ -129,24 +148,30 @@ def main() -> None:
 
 Evidenced on the 32-core sandbox host as the same job at two parallelism
 levels (no real cluster available): `local[{N_SMALL}]` vs `local[{N_BIG}]`, identical
-input (sf={SF} synthetic world, {r8['pages']} web pages), measuring the
+input (sf={SF} synthetic world, {pages} web pages), measuring the
 geocode-join page pipeline after the one-off reference-table build.
 
-| config | seconds | pages/sec |
-|---|---|---|
-| local[{N_SMALL}] | {r8['seconds']} | {r8['pages_per_sec']} |
-| local[{N_BIG}] | {r32['seconds']} | {r32['pages_per_sec']} |
+| config | samples (s) | min (s) | median (s) | pages/sec (median) |
+|---|---|---|---|---|
+| local[{N_SMALL}] | {es['runs']} | {es['min']} | {es['median']} | {es['pages_per_sec_median']} |
+| local[{N_BIG}] | {eb['runs']} | {eb['min']} | {eb['median']} | {eb['pages_per_sec_median']} |
 
-**speedup {summary['speedup']}x over a 4x core increase → scaling efficiency
-{summary['scaling_efficiency']}** (target ≥ 0.8: {'PASS' if summary['pass'] else 'FAIL'}).
+**Scaling efficiency over a {int(N_BIG / N_SMALL)}x core increase:
+median-based {summary['scaling_efficiency_median']}, min-based
+{summary['scaling_efficiency_min']}** (target ≥ 0.8:
+{'PASS' if summary['pass'] else 'FAIL'} on the MEDIAN — the robust
+estimator carries the claim per ADVICE r3; equal launch counts per
+config, all samples shown).
 
 Methodology notes:
 
 * Identical physical layout at both levels (fixed partition counts); only the
   executor-thread count varies — the cluster analogy is one dataset layout
   queried by clusters of N and 4N executors.
-* Interleaved worker launches (N, 4N, N, 4N), best-of-3 measured runs per
-  worker, best per config — the sandbox host shows large run-to-run noise.
+* Interleaved, SYMMETRIC worker launches (N, 4N, N, 4N), 3 measured runs per
+  worker, all samples pooled per config — the sandbox host shows large
+  run-to-run noise, so no single sample (and no per-config best over
+  unequal launch counts) carries the claim.
 * The pair N={N_SMALL}→{N_BIG} is chosen inside the host's linear regime:
   `python scripts/host_ceiling.py` (BENCH/host_ceiling.json) measures the
   box's PURE-CPU multiprocessing scaling; at 24-32 concurrent threads the
@@ -158,7 +183,8 @@ Methodology notes:
 ## Headline throughput
 
 Geocode-join throughput (pages/sec over the web-page table, the
-BASELINE.json metric): **{r32['pages_per_sec']} pages/sec** at local[{N_BIG}],
+BASELINE.json metric): **{eb['pages_per_sec_median']} pages/sec** (median;
+{eb['pages_per_sec_min']} best-sample) at local[{N_BIG}],
 sf={SF}. Reference publishes no query-throughput numbers (BASELINE.md);
 its build-pipeline numbers are in the repo-root BASELINE.md.
 
