@@ -83,6 +83,8 @@ def main():
         tables.houses.count()
         tables.street_city.count()
         tables.street_name_tokens.count()
+        tables.street_gram_df.count()
+        tables.street_name_prefix.count()
         tables.hn_gram_df.count()
         tables.hn_value_prefix.count()
         tables.houses_ranked.count()
@@ -229,6 +231,7 @@ def main():
         t2.houses.count()
         t2.street_city.count()
         t2.street_name_tokens.count()
+        t2.street_name_prefix.count()
         return struct2, t2
 
     struct2, tables2 = timed("etl_build_adaptive", build_adaptive)

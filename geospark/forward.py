@@ -36,8 +36,7 @@ from pyspark.sql.types import BooleanType
 
 from . import proj, spatial, text
 from .reverse import ZERO_UUID, _admin_cols
-from .tables import (GeocoderTables, pair_similarity_col, sim_from_arrays,
-                     tokenize_names, trigram_tokens_col)
+from .tables import GeocoderTables, sim_from_arrays, trigram_tokens_col
 
 RESULT_COLS = ["query_id", "house", "road", "house_number", "postcode", "city",
                "county", "state", "x", "y", "distance", "trgm_dist", "license_id"]
@@ -45,22 +44,42 @@ RESULT_COLS = ["query_id", "house", "road", "house_number", "postcode", "city",
 
 def _street_candidates(tables: GeocoderTables, road_terms: DataFrame) -> DataFrame:
     """Trigram-token join: (q_road, matching street name, trgm_dist) with
-    sim >= 0.3. ``road_terms``: distinct (q_road) strings."""
-    q_tokens = tokenize_names(road_terms, "q_road").withColumnRenamed("n_trgm", "q_n")
-    s_tokens = tables.street_name_tokens  # (name, n_trgm, trigram)
-    # stream the big, partitioned street-name index; broadcast the per-batch
-    # distinct query terms (same single-task-explosion rationale as hn_pairs)
-    shared = (
-        s_tokens.join(F.broadcast(q_tokens), "trigram")
-        .groupBy("q_road", "q_n", "name", "n_trgm")
-        .agg(F.count("*").alias("shared"))
-    )
-    sim = F.col("shared") / (F.col("q_n") + F.col("n_trgm") - F.col("shared"))
-    return (
-        shared.withColumn("sim", sim)
-        .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
-        .select("q_road", F.col("name").alias("road"), (1.0 - F.col("sim")).alias("trgm_dist"))
-    )
+    sim >= 0.3. ``road_terms``: distinct (q_road) strings.
+
+    PPJoin/AllPairs prefix filtering on BOTH sides (the same machinery as
+    the hn join below): join keys are only each value's rarest
+    n - ceil(tau*n) + 1 grams under one global (df asc, trigram asc) order —
+    any pair with Jaccard >= tau must share a prefix gram (AllPairs prefix
+    lemma), so the ubiquitous suffix grams every German street name carries
+    never materialize |streets| x |queries| pair rows (profiled: 390 CPU-s
+    of a 485 CPU-s geocode_pages job at sf1.0 was this join's shared-gram
+    aggregate). Surviving candidate pairs are few; exact pg_trgm sim is
+    recomputed per pair in value space — results identical to the
+    all-grams join."""
+    q_tok = (road_terms.distinct()
+             .withColumn("q_t", trigram_tokens_col(F.col("q_road")))
+             .select("q_road", "q_t", F.size("q_t").alias("n_q"),
+                     F.explode("q_t").alias("trigram")))
+    # query grams unseen in the street index get df=0 (rarest): they match
+    # nothing but legally occupy prefix slots
+    q_pfx_w = Window.partitionBy("q_road").orderBy(F.col("__df").asc(), F.col("trigram").asc())
+    q_pfx = (q_tok.join(F.broadcast(tables.street_gram_df), "trigram", "left")
+             .withColumn("__df", F.coalesce(F.col("df"), F.lit(0)))
+             .withColumn("__rk", F.row_number().over(q_pfx_w))
+             .filter(F.col("__rk") <= F.col("n_q")
+                     - F.ceil(F.lit(text.TRGM_SIM_THRESHOLD) * F.col("n_q")) + 1)
+             .select("q_road", "q_t", "trigram"))
+    # stream the big, partitioned street-name prefix index; broadcast the
+    # per-batch distinct query prefixes (same single-task-explosion
+    # rationale as hn_pairs). Exact sim = array_intersect over the arrays
+    # BOTH prefix rows carry — filter-then-distinct, so the per-pair cost is
+    # one intersect, never a trigram rebuild.
+    cand = tables.street_name_prefix.join(F.broadcast(q_pfx), "trigram")
+    return (cand.withColumn("sim", sim_from_arrays(F.col("q_t"), F.col("name_t")))
+            .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
+            .select("q_road", F.col("name").alias("road"),
+                    (1.0 - F.col("sim")).alias("trgm_dist"))
+            .distinct())
 
 
 def _country_filter_col(spark, tables: GeocoderTables, q: DataFrame):
@@ -172,8 +191,7 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # % predicates below are then array_intersect over ready arrays (never
     # rebuild trigrams inside a join condition: that re-runs regexp+transform
     # per probed PAIR — measured as a ~100x slowdown)
-    q = q.withColumn("q_hn_t", trigram_tokens_col(F.col("q_hn"))) \
-         .withColumn("q_pc_t", trigram_tokens_col(F.col("q_postcode"))) \
+    q = q.withColumn("q_pc_t", trigram_tokens_col(F.col("q_postcode"))) \
          .withColumn("q_city_t", trigram_tokens_col(F.col("q_city")))
 
     # J8: street-name candidates per distinct road term via the tokenized
@@ -220,7 +238,7 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     houses = tables.houses.select(
         F.col("id").alias("house_id"), "house_number", "x", "y", "street_id")
     carry = [c for c in cand.columns
-             if c not in ("query_id", "q_road", "q_hn", "q_hn_t", "street_id")]
+             if c not in ("query_id", "q_road", "q_hn", "street_id")]
 
     # (a) house_number present: the residual ``h.house_number % hn`` (003:58)
     # as a VALUE-SPACE set-similarity join. hn similarity depends only on
@@ -237,26 +255,30 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # order as the house index (grams unseen on the house side get df=0 —
     # rarest — they match nothing but legally occupy prefix slots)
     q_tok = (with_hn.select("q_hn").distinct()
-             .withColumn("__t", trigram_tokens_col(F.col("q_hn")))
-             .select("q_hn", F.size("__t").alias("n_q"), F.explode("__t").alias("trigram")))
+             .withColumn("q_hn_arr", trigram_tokens_col(F.col("q_hn")))
+             .select("q_hn", "q_hn_arr", F.size("q_hn_arr").alias("n_q"),
+                     F.explode("q_hn_arr").alias("trigram")))
     q_pfx_w = Window.partitionBy("q_hn").orderBy(F.col("__df").asc(), F.col("trigram").asc())
     q_tok = (q_tok.join(F.broadcast(tables.hn_gram_df), "trigram", "left")
              .withColumn("__df", F.coalesce(F.col("df"), F.lit(0)))
              .withColumn("__rk", F.row_number().over(q_pfx_w))
              .filter(F.col("__rk") <= F.col("n_q")
                      - F.ceil(F.lit(text.TRGM_SIM_THRESHOLD) * F.col("n_q")) + 1)
-             .select("q_hn", "trigram"))
+             .select("q_hn", "q_hn_arr", "trigram"))
     # STREAM the partitioned house-prefix index and BROADCAST the per-batch
     # query tokens (the tiny distinct-query side AQE-coalesces to ~1
     # partition — streaming it would funnel the whole pair generation
     # through one task; measured as a single 300 s task spilling 20 GB).
-    # Surviving candidate pairs are few; exact pg_trgm sim re-verifies them.
+    # Exact pg_trgm sim verifies each join row via array_intersect over the
+    # carried arrays BEFORE the distinct — the old distinct-then-
+    # pair_similarity shape let Catalyst push the filter below the agg,
+    # rebuilding trigrams per pair row (profiled: 366 of 485 CPU-s of
+    # geocode_pages at sf1.0 — the scaling bottleneck).
     hn_pairs = (
         tables.hn_value_prefix.join(F.broadcast(q_tok), "trigram")
-        .select("q_hn", "hn").distinct()
-        .filter(pair_similarity_col(F.col("q_hn"), F.col("hn"))
+        .filter(sim_from_arrays(F.col("q_hn_arr"), F.col("hn_t"))
                 >= text.TRGM_SIM_THRESHOLD)
-        .select("q_hn", F.col("hn").alias("house_number"))
+        .select("q_hn", F.col("hn").alias("house_number")).distinct()
     )
     cand_hn = (
         with_hn.select("query_id", "street_id", "q_hn", *carry)

@@ -104,8 +104,38 @@ class GeocoderTables:
             .withColumn("pc_t", trigram_tokens_col(F.col("postcode")))
         )
 
-        # X3: trigram inverted index over distinct street names
+        # X3: trigram inverted index over distinct street names, WITH the
+        # same PPJoin/AllPairs prefix filter the hn index carries (below):
+        # the ubiquitous German suffix grams ("str", "tra", "raß", "aße")
+        # occur in nearly every street name AND nearly every query road
+        # term, so an all-grams token join fans out |streets| x |queries|
+        # pair rows before the shared-gram count can prune — profiled at
+        # 390 CPU-s of a 485 CPU-s geocode_pages job at bench sf1.0 (the
+        # scaling-efficiency killer: the aggregate's memory traffic grows
+        # superlinearly with cores). Prefix join keys (rarest
+        # n - ceil(tau*n) + 1 grams per name) + exact per-pair verification
+        # produce identical results with the fan-out of the RARE grams only.
+        # Prefix rows CARRY the value's full trigram array (name_t): the
+        # per-pair exact verification is then one array_intersect over ready
+        # arrays instead of two fresh trigram constructions per probed pair
+        # (regexp+transform+distinct per PAIR was profiled at ~80 µs/row —
+        # 366 s of a 485 CPU-s geocode_pages job went to exactly that in the
+        # hn join before this index shape).
         self.street_name_tokens = tokenize_names(self.streets.select(F.col("name")))
+        _name_vals = self.streets.select(F.col("name")).distinct() \
+            .withColumn("name_t", trigram_tokens_col(F.col("name")))
+        _name_tokens = _name_vals.select(
+            "name", "name_t", F.size("name_t").alias("n_trgm"),
+            F.explode("name_t").alias("trigram"))
+        self.street_gram_df = _name_tokens.groupBy("trigram") \
+            .agg(F.count("*").alias("df"))
+        _spfx_w = Window.partitionBy("name").orderBy(F.col("df").asc(), F.col("trigram").asc())
+        self.street_name_prefix = (
+            _name_tokens.join(self.street_gram_df, "trigram")
+            .withColumn("__rk", F.row_number().over(_spfx_w))
+            .filter(F.col("__rk") <= F.col("n_trgm")
+                    - F.ceil(F.lit(text.TRGM_SIM_THRESHOLD) * F.col("n_trgm")) + 1)
+            .select("name", "name_t", "trigram"))
 
         # X3 again, for house numbers: the hn GIN index materialized over
         # DISTINCT house-number strings, with PPJoin/AllPairs-style PREFIX
@@ -121,16 +151,18 @@ class GeocoderTables:
         # never materialized. Exact sim is re-verified per surviving pair.
         hn_tokens = (
             self.houses.select(F.col("house_number").alias("hn")).distinct()
-            .withColumn("__t", trigram_tokens_col(F.col("hn")))
-            .select("hn", F.size("__t").alias("n_hn"), F.explode("__t").alias("trigram")))
+            .withColumn("hn_t", trigram_tokens_col(F.col("hn")))
+            .select("hn", "hn_t", F.size("hn_t").alias("n_hn"),
+                    F.explode("hn_t").alias("trigram")))
         self.hn_gram_df = hn_tokens.groupBy("trigram").agg(F.count("*").alias("df"))
         _pfx_w = Window.partitionBy("hn").orderBy(F.col("df").asc(), F.col("trigram").asc())
+        # carries hn_t for the same reason street_name_prefix carries name_t
         self.hn_value_prefix = (
             hn_tokens.join(self.hn_gram_df, "trigram")
             .withColumn("__rk", F.row_number().over(_pfx_w))
             .filter(F.col("__rk") <= F.col("n_hn")
                     - F.ceil(F.lit(text.TRGM_SIM_THRESHOLD) * F.col("n_hn")) + 1)
-            .select("hn", "trigram"))
+            .select("hn", "hn_t", "trigram"))
 
         # per-street rank of houses by id: for queries with NULL house_number
         # and NULL center/country the in-street ordering is (trgm_dist, id) —
@@ -159,6 +191,8 @@ class GeocoderTables:
             self.houses = self.houses.cache()
             self.street_city = self.street_city.cache()
             self.street_name_tokens = self.street_name_tokens.cache()
+            self.street_gram_df = self.street_gram_df.cache()
+            self.street_name_prefix = self.street_name_prefix.cache()
             self.hn_gram_df = self.hn_gram_df.cache()
             self.hn_value_prefix = self.hn_value_prefix.cache()
             self.houses_ranked = self.houses_ranked.cache()
