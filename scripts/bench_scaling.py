@@ -164,8 +164,15 @@ def main() -> None:
         cut = old.find(MARKER)
         if cut < 0:
             cut = old.find("\n## Timing methodology")
-        if cut >= 0:
-            extra = old[cut:].removeprefix(MARKER)
+            if cut >= 0:
+                # no marker yet: adopt the tail and PUT one in front of it so
+                # the next rewrite preserves from the same place
+                extra = "\n" + MARKER + "\n" + old[cut:]
+        if cut >= 0 and not extra:
+            # keep the marker itself in the rewritten file — stripping it
+            # made the SECOND rewrite fall back and drop hand-written
+            # sections between the headline block and ## Timing methodology
+            extra = old[cut:]
     es, eb = est[N_SMALL], est[N_BIG]
     with open(baseline_path, "w") as fp:
         fp.write(f"""# BENCH/BASELINE — measured numbers for this engine
