@@ -102,3 +102,17 @@ def test_geocode_join_paths_have_no_cartesian(spark, geo):
                                "query_id long, lat double, lon double, radius double, limit int")
     rplan = _plan(reverse_geocode(spark, geo["tables"], rq, with_fallback=False))
     assert "CartesianProduct" not in rplan
+
+
+def test_expansion_splitter_stays_jvm(spark):
+    """The abbreviation expansion + address splitter must compile to chained
+    JVM regexp ops inside whole-stage codegen — no Python/Arrow stage for a
+    per-query-row string rewrite (it runs on every unstructured query at
+    corpus scale)."""
+    from geospark.forward import split_address_cols
+
+    q = spark.createDataFrame(
+        [(1, "Hauptstr. 5, 95505 Dickenreuth")], "query_id long, search_term string")
+    plan = _plan(split_address_cols(q))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "regexp_replace" in plan.lower()
