@@ -31,25 +31,6 @@ def metaphone_cols(col):
     return _m(col)
 
 
-def _code_tokens(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Explode both metaphone codes into (key..., variant, code, n_trgm,
-    trigram) token rows — trigram construction stays JVM-side
-    (tables.trigram_tokens_col == text.trigrams, unit-enforced), so no
-    Arrow stage runs per predict call."""
-    from .tables import trigram_tokens_col
-
-    both = df.select(
-        *key_cols,
-        F.explode(F.array(
-            F.struct(F.lit("p").alias("variant"), F.col("dmet").alias("code")),
-            F.struct(F.lit("a").alias("variant"), F.col("dmet_alt").alias("code")),
-        )).alias("__v"),
-    ).select(*key_cols, "__v.variant", "__v.code")
-    both = both.withColumn("__t", trigram_tokens_col(F.col("code")))
-    return both.select(*key_cols, "variant", F.size("__t").alias("n_trgm"),
-                       F.explode("__t").alias("trigram"))
-
-
 def prepare_wordlist(wordlist: DataFrame) -> DataFrame:
     """wordlist (word, ct) + metaphone codes — the engine's equivalent of the
     dmetaphone GIN indexes, materialized once at build time."""
@@ -65,17 +46,37 @@ def predict_text(spark, wordlist_m: DataFrame, queries: DataFrame, k: int = 10) 
     q = queries.withColumn("__m", metaphone_cols(F.col("input"))) \
         .select("query_id", "input", F.col("__m.dmet").alias("dmet"), F.col("__m.dmet_alt").alias("dmet_alt"))
 
-    w_tokens = _code_tokens(wordlist_m, ["word"]).withColumnRenamed("variant", "w_variant") \
-        .withColumnRenamed("n_trgm", "w_n")
-    q_tokens = _code_tokens(q, ["query_id"]).withColumnRenamed("variant", "q_variant") \
-        .withColumnRenamed("n_trgm", "q_n")
+    # VALUE-SPACE similarity (the same rewrite as the forward hn join):
+    # metaphone codes COLLAPSE similar words ("Meier"/"Mayer"/"Maier" share
+    # one code), so at corpus scale |distinct codes| << |words|. The trigram
+    # similarity depends only on the two code strings — compute it once per
+    # (distinct query code) x (distinct wordlist code), then fan the
+    # surviving code pairs back out to (query_id, word) through cheap
+    # equi-joins. The per-WORD token join this replaces multiplied the
+    # shared-gram aggregate by words-per-code.
+    w_var = wordlist_m.select("word", F.explode(F.array("dmet", "dmet_alt")).alias("code"))
+    q_var = q.select("query_id", F.explode(F.array("dmet", "dmet_alt")).alias("code"))
 
-    shared = (
-        q_tokens.join(w_tokens, "trigram")
-        .groupBy("query_id", "word", "q_variant", "w_variant", "q_n", "w_n")
+    def _val_tokens(df, out_col):
+        from .tables import trigram_tokens_col
+
+        t = df.select(F.col("code").alias(out_col)).distinct() \
+            .withColumn("__t", trigram_tokens_col(F.col(out_col)))
+        return t.select(out_col, F.size("__t").alias(f"{out_col}_n"),
+                        F.explode("__t").alias("trigram"))
+
+    shared_codes = (
+        _val_tokens(q_var, "q_code").join(_val_tokens(w_var, "w_code"), "trigram")
+        .groupBy("q_code", "w_code", "q_code_n", "w_code_n")
         .agg(F.count("*").alias("shared"))
-        .withColumn("sim", F.col("shared") / (F.col("q_n") + F.col("w_n") - F.col("shared")))
+        .withColumn("sim", F.col("shared")
+                    / (F.col("q_code_n") + F.col("w_code_n") - F.col("shared")))
         .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
+        .select("q_code", "w_code")
+    )
+    shared = (
+        q_var.join(shared_codes, q_var["code"] == shared_codes["q_code"])
+        .join(w_var, w_var["code"] == shared_codes["w_code"])
         .select("query_id", "word").distinct()  # OR of the 4 combos (002:14-19)
     )
 
