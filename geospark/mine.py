@@ -127,14 +127,15 @@ def geocode_pages(spark, tables, pages: DataFrame,
     """The headline geocode-join: mined addresses forward-geocoded + mined
     coordinates reverse-geocoded, unioned as (url, kind, road, house_number,
     postcode, city, x, y)."""
-    # ONE persisted pass over the pages extracts both candidate kinds (the
-    # regex scan is the dominant per-page cost — measured 353 core-s of a
-    # 454 core-s job at bench sf1.0): the address regex runs only on pages
-    # passing the cheap anchor prefilter, and every downstream consumer
-    # (forward join, url join-back, country prefetch) reuses the persisted
-    # matches instead of re-running the scan (Catalyst collapses projections,
-    # so even one plan evaluates the regex multiple times per row without
-    # this barrier)
+    # ONE persisted pass over the pages extracts both candidate kinds: the
+    # address regex runs only on pages passing the cheap anchor prefilter,
+    # and every downstream consumer (forward join, url join-back, country
+    # prefetch) reuses the persisted matches instead of re-running the scan
+    # (Catalyst collapses projections, so even one plan evaluates the regex
+    # multiple times per row without this barrier). Round-4 profiling
+    # CORRECTED an earlier attribution: the scan itself is ~2 core-s at
+    # sf1.0 — the job's former 366-core-s hotspot was per-pair trigram
+    # re-verification in the geocode joins (fixed in forward.py/tables.py).
     scan = pages.select(
         "url",
         F.when(F.col("text").rlike(ADDR_ANCHOR_RE),
