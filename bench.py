@@ -275,6 +275,17 @@ def main():
                                            n_centroids=64, n_probe=n_probe).collect()}
         recall_curve[f"n_probe={n_probe}"] = round(
             len(hard_brute & got) / max(len(hard_brute), 1), 4)
+    # the k-means-trained variant on the SAME hard set: substantiates (or
+    # refutes) the "trained centroids tighten buckets" guidance with numbers
+    km_cent = simsearch.ivf_train(spark, hard, n_centroids=64, iters=2) \
+        .localCheckpoint(eager=True)
+    km_recall_curve = {}
+    for n_probe in (1, 2, 4, 8):
+        got = {(r.query_id, r.vec_id)
+               for r in simsearch.ivf_topk(spark, hard, hq, k=5, n_centroids=64,
+                                           n_probe=n_probe, centroids=km_cent).collect()}
+        km_recall_curve[f"n_probe={n_probe}"] = round(
+            len(hard_brute & got) / max(len(hard_brute), 1), 4)
 
     total = round(sum(timings.values()), 3)
     geo_sec = timings["extract_verify"] + timings["geocode_pages"]
@@ -290,6 +301,7 @@ def main():
         "ann_ivf_recall_at5": ivf_recall,
         # the non-saturated recall/speed trade on the boundary-query set
         "ann_ivf_recall_curve_hard": recall_curve,
+        "ann_ivf_kmeans_recall_curve_hard": km_recall_curve,
         # adaptive-split evidence: threshold used, resulting per-resolution
         # row histogram and number of finer-than-base cells actually created
         "adaptive_split": {"threshold_rows": split_thr,
