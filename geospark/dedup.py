@@ -266,10 +266,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     candidate fan-out is Σ_bands Σ_buckets C(n,2) ≈ (h+1)·N²/2^(63/(h+1)+1)
     on uniform signatures — at N=10^6 that is ~46M pairs for h=3 (verified
     end-to-end in ~1 min on local[32]) but ~2.3G pairs for h=5 (10-11-bit
-    buckets): h=5 is quadratic-ugly at megascale and topic-skewed corpora
-    concentrate it further into hot buckets. Advertised support is
-    h <= 3 at corpus scale; larger h requires pre-partitioning (shard by a
-    few signature bits and run per shard) or a multi-probe scheme."""
+    buckets): the FLAT banding is quadratic-ugly at megascale for h > 3,
+    and topic-skewed corpora concentrate it further into hot buckets. For
+    larger h use ``simhash_pairs_recursive`` — identical output
+    (pytest-pinned), recursive pigeonhole on oversize buckets — measured
+    ~34 s for the same h=5 / 10^6-signature workload."""
     return simhash_pairs_from_signatures(simhash_signatures(docs), max_hamming)
 
 
@@ -298,3 +299,119 @@ def simhash_pairs_from_signatures(sig: DataFrame, max_hamming: int = 3) -> DataF
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def _segments_band_offsets(segments: list[tuple[int, int]], n_bands: int) -> list[list[tuple[int, int]]]:
+    """Partition a SCATTERED bit field (list of (shift, width) segments) into
+    ``n_bands`` near-equal chunks, each again a list of segments — driver-side
+    bookkeeping for the recursive banding below."""
+    total = sum(w for _, w in segments)
+    base, rem = divmod(total, n_bands)
+    out, cur, need = [], [], 0
+    sizes = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    it = iter(segments)
+    s, w = next(it)
+    for size in sizes:
+        cur, need = [], size
+        while need > 0:
+            take = min(need, w)
+            cur.append((s, take))
+            s += take
+            w -= take
+            need -= take
+            if w == 0:
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                s, w = nxt
+        out.append(cur)
+    return out
+
+
+def _segments_value_col(sig_col, segments: list[tuple[int, int]]):
+    """Concatenate scattered bit segments of ``sig_col`` into one integer —
+    pure JVM shifts/masks, no Python."""
+    off, parts = 0, None
+    for s, w in segments:
+        piece = F.shiftleft(F.shiftright(sig_col, s).bitwiseAND((1 << w) - 1), off)
+        parts = piece if parts is None else parts.bitwiseXOR(piece)
+        off += w
+    return parts if parts is not None else F.lit(0)
+
+
+def simhash_pairs_recursive(sig: DataFrame, max_hamming: int = 5,
+                            hot_threshold: int = 1000) -> DataFrame:
+    """EXACT-recall simhash pairing that survives large ``max_hamming`` at
+    corpus scale — the escape hatch for the measured h=5 selectivity
+    collapse (SCALE.md / scripts/simhash_stress.py: 10-11-bit buckets hold
+    ~500-3700 docs at 10^6 signatures → 2.3G candidate pairs).
+
+    Recursive pigeonhole: level-1 bands are the usual ``max_hamming + 1``
+    disjoint chunks. A bucket with more than ``hot_threshold`` members is
+    NOT pair-joined; instead, its rows re-band over the REMAINING 63-w bits
+    — any pair inside the bucket matched its chunk exactly, so all of its
+    <= h differing bits lie in the remaining field, and h+1 sub-chunks of
+    that field again guarantee one exact sub-chunk match (the same
+    pigeonhole, one level down). One recursion level multiplies bucket
+    selectivity by ~2^(52/(h+1)) while touching only hot-bucket rows.
+
+    Candidate generation per (band, value[, sub-band, sub-value]) bucket;
+    cross-path duplicates removed before the popcount verify. The whole
+    operator is ONE exploded key table self-joined once — a per-(band,
+    sub-band) union of self-joins was measured to choke Catalyst planning
+    (42 join branches, driver pinned >12 min before any stage launched).
+    ``sig``: (doc_id, simhash). Returns (doc_a, doc_b, hamming) —
+    identical rows to ``simhash_pairs_from_signatures`` (pytest-pinned)."""
+    nb = max_hamming + 1
+    level1 = simhash_band_offsets(max_hamming)
+
+    band_structs = [
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftright("simhash", s).bitwiseAND((1 << w) - 1).alias("v"))
+        for i, (s, w) in enumerate(level1)]
+    base = sig.select("doc_id", "simhash",
+                      F.explode(F.array(*band_structs)).alias("b")) \
+        .select("doc_id", "simhash", "b.band", "b.v")
+    counts = base.groupBy("band", "v").agg(F.count("*").alias("n"))
+    hot_keys = counts.filter(F.col("n") > hot_threshold) \
+        .select("band", "v", F.lit(True).alias("__hot"))
+    base = base.join(F.broadcast(hot_keys), ["band", "v"], "left")
+
+    cold = base.filter(F.col("__hot").isNull()).select(
+        "doc_id", "simhash", "band", "v",
+        F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("sv"))
+    # hot rows explode into nb sub-bands over the band's REMAINING bits;
+    # the sub-band value is a per-band CASE over driver-computed scattered
+    # segments (pure JVM shifts — no Python anywhere in this operator)
+    sub_structs = []
+    for j in range(nb):
+        sv = None
+        for i, (s, w) in enumerate(level1):
+            remaining = [seg for seg in ([(0, s)] if s > 0 else [])
+                         + ([(s + w, 63 - s - w)] if s + w < 63 else [])
+                         if seg[1] > 0]
+            segs = _segments_band_offsets(remaining, nb)[j]
+            expr = _segments_value_col(F.col("simhash"), segs)
+            sv = (F.when(F.col("band") == i, expr) if sv is None
+                  else sv.when(F.col("band") == i, expr))
+        sub_structs.append(F.struct(F.lit(j).alias("sub"), sv.alias("sv")))
+    hot = base.filter(F.col("__hot").isNotNull()).select(
+        "doc_id", "simhash", "band", "v",
+        F.explode(F.array(*sub_structs)).alias("s")) \
+        .select("doc_id", "simhash", "band", "v", "s.sub", "s.sv")
+
+    keyed = cold.unionByName(hot)
+    l, r = keyed.alias("l"), keyed.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.v") == F.col("r.v"))
+               & (F.col("l.sub") == F.col("r.sub"))
+               & (F.col("l.sv") == F.col("r.sv"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
+        .distinct())
+    return (cand
+            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -789,6 +789,16 @@ def q_simhash_pairs(spark, sf_dir):
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_simhash_recursive(spark, sf_dir):
+    """The h>3 escape hatch (recursive pigeonhole on oversize buckets,
+    dedup.simhash_pairs_recursive) — output is EXACTLY simhash_pairs', so it
+    shares the dedup_simhash_pairs oracle; hot_threshold=16 forces the
+    recursion to engage on the sf corpus (not just pass through cold)."""
+    sig = dedup.simhash_signatures(_docs(spark, sf_dir))
+    return dedup.simhash_pairs_recursive(sig, max_hamming=3, hot_threshold=16) \
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double")))
@@ -1615,6 +1625,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash_sigs": q_simhash_sigs,
     "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_simhash_recursive": q_simhash_recursive,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
@@ -1792,3 +1803,5 @@ LEFT JOIN (
 """
 
 QUERIES["oa_city_final"] = q_oa_city_final
+
+ORACLES["dedup_simhash_recursive"] = ORACLES["dedup_simhash_pairs"]

@@ -111,6 +111,20 @@ def main():
         results.append(entry)
         print(json.dumps(entry))
 
+    # the escape hatch, measured: recursive pigeonhole banding at h=5 with
+    # a low hot threshold re-bands (nearly) every 10-11-bit bucket over its
+    # remaining bits — effective two-level buckets of ~18-19 bits — while
+    # keeping EXACT recall (pytest-pinned equivalence). Run the REAL join.
+    t0 = time.time()
+    survivors = dedup.simhash_pairs_recursive(sdf, max_hamming=5,
+                                              hot_threshold=64).count()
+    entry = {"max_hamming": 5, "variant": "recursive(hot_threshold=64)",
+             "n_docs": N_DOCS,
+             "verify_join_sec": round(time.time() - t0, 1),
+             "pairs_within_hamming": int(survivors)}
+    results.append(entry)
+    print(json.dumps(entry))
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "simhash_stress.json")
     with open(out, "w") as fp:

@@ -126,3 +126,35 @@ def test_forward_geocode_releases_candidate_cache(spark, geo):
     # checkpointed result blocks (still referenced by out2/out3) may appear —
     # a leak would add 2 candidate caches on top
     assert n_stored() - before <= 2
+
+
+def test_simhash_recursive_exact_equivalence(spark):
+    """simhash_pairs_recursive (the h>3 escape hatch: hot buckets re-band
+    their remaining bits, pigeonhole one level down) must return EXACTLY the
+    rows of the flat banded join — on a topic-skewed signature set whose hot
+    buckets force the recursion to engage."""
+    import numpy as np
+    import pandas as pd
+
+    from geospark import dedup
+
+    rng = np.random.RandomState(5)
+    n = 2000
+    sig = rng.randint(0, 1 << 62, size=n, dtype=np.int64) * 2
+    topics = rng.randint(0, 1 << 62, size=3, dtype=np.int64) * 2
+    pick = topics[rng.randint(0, 3, n // 3)]
+    flips = np.zeros(n // 3, dtype=np.int64)
+    for _ in range(3):  # few flips → pairs exist at hamming <= 3 too
+        flips ^= np.int64(1) << rng.randint(0, 63, n // 3).astype(np.int64)
+    sig[: n // 3] = pick ^ flips
+    sig &= (1 << 63) - 1
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "simhash": sig})).cache()
+    sdf.count()
+    for h in (3, 5):
+        base = {(r.doc_a, r.doc_b, r.hamming)
+                for r in dedup.simhash_pairs_from_signatures(sdf, h).collect()}
+        rec = {(r.doc_a, r.doc_b, r.hamming)
+               for r in dedup.simhash_pairs_recursive(sdf, h, hot_threshold=40).collect()}
+        assert rec == base and base, (h, len(base), len(rec))
+    sdf.unpersist()
