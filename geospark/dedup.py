@@ -305,6 +305,12 @@ def _segments_band_offsets(segments: list[tuple[int, int]], n_bands: int) -> lis
     """Partition a SCATTERED bit field (list of (shift, width) segments) into
     ``n_bands`` near-equal chunks, each again a list of segments — driver-side
     bookkeeping for the recursive banding below."""
+    if not segments:
+        # empty remaining field (e.g. max_hamming=0 -> the single level-1
+        # band spans all 63 bits): every sub-band is empty, so sub-values
+        # are constant 0 and hot buckets degrade to the flat join instead
+        # of crashing (ADVICE r4: unguarded StopIteration below)
+        return [[] for _ in range(n_bands)]
     total = sum(w for _, w in segments)
     base, rem = divmod(total, n_bands)
     out, cur, need = [], [], 0
@@ -336,11 +342,27 @@ def _segments_value_col(sig_col, segments: list[tuple[int, int]]):
         piece = F.shiftleft(F.shiftright(sig_col, s).bitwiseAND((1 << w) - 1), off)
         parts = piece if parts is None else parts.bitwiseXOR(piece)
         off += w
-    return parts if parts is not None else F.lit(0)
+    return parts if parts is not None else F.lit(0).cast("long")
+
+
+def _complement_segments(consumed: list[tuple[int, int]],
+                         total_bits: int = 63) -> list[tuple[int, int]]:
+    """The (shift, width) gaps of ``[0, total_bits)`` not covered by the
+    disjoint ``consumed`` segments — the field a deeper band level re-bands
+    over."""
+    out, pos = [], 0
+    for s, w in sorted(consumed):
+        if s > pos:
+            out.append((pos, s - pos))
+        pos = max(pos, s + w)
+    if pos < total_bits:
+        out.append((pos, total_bits - pos))
+    return out
 
 
 def simhash_pairs_recursive(sig: DataFrame, max_hamming: int = 5,
-                            hot_threshold: int = 1000) -> DataFrame:
+                            hot_threshold: int = 1000,
+                            max_depth: int = 2) -> DataFrame:
     """EXACT-recall simhash pairing that survives large ``max_hamming`` at
     corpus scale — the escape hatch for the measured h=5 selectivity
     collapse (SCALE.md / scripts/simhash_stress.py: 10-11-bit buckets hold
@@ -348,67 +370,96 @@ def simhash_pairs_recursive(sig: DataFrame, max_hamming: int = 5,
 
     Recursive pigeonhole: level-1 bands are the usual ``max_hamming + 1``
     disjoint chunks. A bucket with more than ``hot_threshold`` members is
-    NOT pair-joined; instead, its rows re-band over the REMAINING 63-w bits
-    — any pair inside the bucket matched its chunk exactly, so all of its
-    <= h differing bits lie in the remaining field, and h+1 sub-chunks of
-    that field again guarantee one exact sub-chunk match (the same
-    pigeonhole, one level down). One recursion level multiplies bucket
-    selectivity by ~2^(52/(h+1)) while touching only hot-bucket rows.
+    NOT pair-joined; instead, its rows re-band over the REMAINING bits of
+    the signature — any pair inside the bucket matched its consumed bits
+    exactly, so all of its <= h differing bits lie in the remaining field,
+    and h+1 sub-chunks of that field again guarantee one exact sub-chunk
+    match (the same pigeonhole, one level down). Each recursion level
+    multiplies bucket selectivity by ~2^(remaining/(h+1)) while touching
+    only still-hot-bucket rows. ``max_depth`` bounds the descent
+    (default 2 = the r4 single-recursion shape; 3+ engages further levels
+    for 10^9+-doc or h>=7 workloads whose depth-2 sub-buckets re-exceed
+    ``hot_threshold`` — r5 stress datapoint in SCALE.md). Buckets still hot
+    at the final level are pair-joined anyway: exactness never depends on
+    the depth, only the candidate count does.
 
-    Candidate generation per (band, value[, sub-band, sub-value]) bucket;
-    cross-path duplicates removed before the popcount verify. The whole
-    operator is ONE exploded key table self-joined once — a per-(band,
-    sub-band) union of self-joins was measured to choke Catalyst planning
-    (42 join branches, driver pinned >12 min before any stage launched).
+    Bookkeeping is two packed columns instead of per-level key pairs: a
+    ``path`` id (band choices so far, base ``h+1``) and a ``kv`` long (the
+    concatenated values of all consumed segments along that path — disjoint
+    segments, <= 63 bits total, so one long always holds them). Rows join
+    iff (depth, path, kv) match; per-path segment layout is driver-side
+    bookkeeping and every value extraction is JVM shifts/masks — no Python
+    anywhere in this operator. Cross-path duplicates are removed before the
+    popcount verify. The whole operator is ONE exploded key table
+    self-joined once — a per-(band, sub-band) union of self-joins was
+    measured to choke Catalyst planning (42 join branches, driver pinned
+    >12 min before any stage launched).
+
     ``sig``: (doc_id, simhash). Returns (doc_a, doc_b, hamming) —
-    identical rows to ``simhash_pairs_from_signatures`` (pytest-pinned)."""
+    identical rows to ``simhash_pairs_from_signatures`` (pytest-pinned,
+    including an engaged depth-3 descent)."""
     nb = max_hamming + 1
     level1 = simhash_band_offsets(max_hamming)
 
     band_structs = [
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftright("simhash", s).bitwiseAND((1 << w) - 1).alias("v"))
+        F.struct(F.lit(i).alias("path"),
+                 F.shiftright("simhash", s).bitwiseAND((1 << w) - 1)
+                 .cast("long").alias("kv"))
         for i, (s, w) in enumerate(level1)]
-    base = sig.select("doc_id", "simhash",
-                      F.explode(F.array(*band_structs)).alias("b")) \
-        .select("doc_id", "simhash", "b.band", "b.v")
-    counts = base.groupBy("band", "v").agg(F.count("*").alias("n"))
-    hot_keys = counts.filter(F.col("n") > hot_threshold) \
-        .select("band", "v", F.lit(True).alias("__hot"))
-    base = base.join(F.broadcast(hot_keys), ["band", "v"], "left")
+    current = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("b")) \
+        .select("doc_id", "simhash", F.col("b.path").alias("path"),
+                F.col("b.kv").alias("kv"))
+    # driver-side layout per live path id: (consumed segments, packed width)
+    paths = {i: ([seg], seg[1]) for i, seg in enumerate(level1)}
 
-    cold = base.filter(F.col("__hot").isNull()).select(
-        "doc_id", "simhash", "band", "v",
-        F.lit(-1).alias("sub"), F.lit(0).cast("long").alias("sv"))
-    # hot rows explode into nb sub-bands over the band's REMAINING bits;
-    # the sub-band value is a per-band CASE over driver-computed scattered
-    # segments (pure JVM shifts — no Python anywhere in this operator)
-    sub_structs = []
-    for j in range(nb):
-        sv = None
-        for i, (s, w) in enumerate(level1):
-            remaining = [seg for seg in ([(0, s)] if s > 0 else [])
-                         + ([(s + w, 63 - s - w)] if s + w < 63 else [])
-                         if seg[1] > 0]
-            segs = _segments_band_offsets(remaining, nb)[j]
-            expr = _segments_value_col(F.col("simhash"), segs)
-            sv = (F.when(F.col("band") == i, expr) if sv is None
-                  else sv.when(F.col("band") == i, expr))
-        sub_structs.append(F.struct(F.lit(j).alias("sub"), sv.alias("sv")))
-    hot = base.filter(F.col("__hot").isNotNull()).select(
-        "doc_id", "simhash", "band", "v",
-        F.explode(F.array(*sub_structs)).alias("s")) \
-        .select("doc_id", "simhash", "band", "v", "s.sub", "s.sv")
+    finalized = []  # one DF per depth: rows whose bucket went cold there
+    for depth in range(1, max_depth):
+        counts = current.groupBy("path", "kv").agg(F.count("*").alias("n"))
+        hot_keys = counts.filter(F.col("n") > hot_threshold) \
+            .select("path", "kv", F.lit(True).alias("__hot"))
+        marked = current.join(F.broadcast(hot_keys), ["path", "kv"], "left")
+        finalized.append(
+            marked.filter(F.col("__hot").isNull())
+            .select("doc_id", "simhash", F.lit(depth).alias("depth"),
+                    "path", "kv"))
+        # still-hot rows explode into nb sub-bands over each path's
+        # remaining bits; new path = path*nb + j, new kv = kv with the
+        # sub-band value packed above the path's consumed width (CASE over
+        # live paths — pure JVM shifts)
+        sub_structs = []
+        new_paths = {}
+        for j in range(nb):
+            kv_expr = None
+            for p, (consumed, width) in paths.items():
+                segs = _segments_band_offsets(_complement_segments(consumed), nb)[j]
+                val = _segments_value_col(F.col("simhash"), segs)
+                new_kv = F.col("kv").bitwiseXOR(F.shiftleft(val, width))
+                kv_expr = (F.when(F.col("path") == p, new_kv) if kv_expr is None
+                           else kv_expr.when(F.col("path") == p, new_kv))
+                new_paths[p * nb + j] = (consumed + segs,
+                                         width + sum(w for _, w in segs))
+            sub_structs.append(F.struct(
+                (F.col("path") * nb + j).alias("path"), kv_expr.alias("kv")))
+        current = marked.filter(F.col("__hot").isNotNull()).select(
+            "doc_id", "simhash", F.explode(F.array(*sub_structs)).alias("s")) \
+            .select("doc_id", "simhash", F.col("s.path").alias("path"),
+                    F.col("s.kv").alias("kv"))
+        paths = new_paths
+    finalized.append(current.select(
+        "doc_id", "simhash", F.lit(max_depth).alias("depth"), "path", "kv"))
 
-    keyed = cold.unionByName(hot)
+    keyed = finalized[0]
+    for df in finalized[1:]:
+        keyed = keyed.unionByName(df)
     l, r = keyed.alias("l"), keyed.alias("r")
     cand = (
-        l.join(r, (F.col("l.band") == F.col("r.band"))
-               & (F.col("l.v") == F.col("r.v"))
-               & (F.col("l.sub") == F.col("r.sub"))
-               & (F.col("l.sv") == F.col("r.sv"))
+        l.join(r, (F.col("l.depth") == F.col("r.depth"))
+               & (F.col("l.path") == F.col("r.path"))
+               & (F.col("l.kv") == F.col("r.kv"))
                & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"),
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
                 F.col("l.simhash").alias("ha"), F.col("r.simhash").alias("hb"))
         .distinct())
     return (cand

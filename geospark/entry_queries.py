@@ -572,8 +572,19 @@ def q_wordlist(spark, sf_dir):
 
 
 def q_oa_city(spark, sf_dir):
-    return geo_state(spark)["oa"]["oa_city"].select(
-        "id", "city", "district", "region", "postcode", "license_id")
+    """S3 importer output + A5 backfill folded into one row set (r5): the
+    FINAL city table after optimize/017 (empty OA city names filled from the
+    admin_level-8 polygon containing the multipoint centroid of their
+    houses) + optimize/018 (manual per-source fixes). Rows untouched by the
+    backfill pass through byte-identical, so the raw-importer semantics
+    (district/region/postcode/license_id and all non-empty city values)
+    stay hash-checked alongside the backfill. (empty marker ' ' — the
+    importer's empty-field encoding; see oa.update_city_names_from_osm.)"""
+    st = geo_state(spark)
+    filled = oa.update_city_names_from_osm(spark, st["oa"], st["osm"]["osm_admin"],
+                                           empty_values=(" ",))
+    final = oa.manual_city_name_updates({**st["oa"], "oa_city": filled})
+    return final.select("id", "city", "district", "region", "postcode", "license_id")
 
 
 def q_oa_street(spark, sf_dir):
@@ -998,8 +1009,41 @@ WITH {STRUCT_CTES},
 SELECT word, CAST(ct AS BIGINT) AS ct FROM ({_WORDLIST_SQL})
 """
 
-ORACLES["oa_city"] = _oa_sql(
-    "SELECT id, city, district, region, postcode, license_id FROM oa_city")
+# final (backfilled) city table: optimize/017 admin-8 centroid fill +
+# optimize/018 manual fixes on top of the raw importer CTEs
+ORACLES["oa_city"] = f"""
+WITH {OA_CTES.lstrip()},
+adm AS (SELECT * FROM {_pq('osm_admin')}),
+ae AS (SELECT * FROM {_pq('osm_admin_edges')}),
+cent AS (
+    SELECT c.id AS cid, avg(h.x) AS cx, avg(h.y) AS cy
+    FROM oa_city c
+    JOIN oa_street s ON s.city_id = c.id
+    JOIN oa_house h ON h.street_id = s.id
+    WHERE c.city = ' '
+    GROUP BY c.id
+),
+fill AS (
+    SELECT t.cid, arg_min(a.name, a.osm_id) AS new_city
+    FROM cent t, adm a
+    WHERE a.admin_level = 8 AND {_pip('ae', 'a.osm_id', 't.cx', 't.cy')}
+    GROUP BY t.cid
+),
+manual AS (SELECT * FROM (VALUES
+    ('ro/bucharest', 'Bucharest'), ('at/city_of_vienna', 'Wien'),
+    ('de/nw/city_of_cologne', 'Köln')) t(source, fixed_city)),
+lic AS (SELECT * FROM (VALUES
+    ('us/il/test'), ('us/ny/rivertown'), ('de/by/lakeside')) t(source))
+SELECT c.id,
+       coalesce(m.fixed_city, f.new_city, c.city) AS city,
+       c.district, c.region, c.postcode, c.license_id
+FROM oa_city c
+LEFT JOIN fill f ON f.cid = c.id
+LEFT JOIN (
+    SELECT sha256('license' || l.source) AS lid, m.fixed_city
+    FROM lic l JOIN manual m ON m.source = l.source
+) m ON m.lid = c.license_id
+"""
 ORACLES["oa_street"] = _oa_sql("SELECT id, street, unit, city_id FROM oa_street")
 ORACLES["oa_house"] = _oa_sql(f"""
 SELECT id, {_MM.format(c='x')} AS x_mm, {_MM.format(c='y')} AS y_mm,
@@ -1755,53 +1799,5 @@ QUERIES["osm_source_filter"] = q_osm_source_filter
 QUERIES["forward_unstructured"] = q_forward_unstructured
 QUERIES["postal_expand"] = q_postal_expand
 
-
-def q_oa_city_final(spark, sf_dir):
-    """optimize/017 + 018: empty OA city names filled from the admin_level-8
-    polygon containing the multipoint centroid of their houses, then the
-    manual per-source fixes. (empty marker ' ' — the importer's
-    empty-field encoding; see oa.update_city_names_from_osm docstring)."""
-    st = geo_state(spark)
-    filled = oa.update_city_names_from_osm(spark, st["oa"], st["osm"]["osm_admin"],
-                                           empty_values=(" ",))
-    final = oa.manual_city_name_updates({**st["oa"], "oa_city": filled})
-    return final.select("id", "city", "district", "region", "postcode", "license_id")
-
-
-ORACLES["oa_city_final"] = f"""
-WITH {OA_CTES.lstrip()},
-adm AS (SELECT * FROM {_pq('osm_admin')}),
-ae AS (SELECT * FROM {_pq('osm_admin_edges')}),
-cent AS (
-    SELECT c.id AS cid, avg(h.x) AS cx, avg(h.y) AS cy
-    FROM oa_city c
-    JOIN oa_street s ON s.city_id = c.id
-    JOIN oa_house h ON h.street_id = s.id
-    WHERE c.city = ' '
-    GROUP BY c.id
-),
-fill AS (
-    SELECT t.cid, arg_min(a.name, a.osm_id) AS new_city
-    FROM cent t, adm a
-    WHERE a.admin_level = 8 AND {_pip('ae', 'a.osm_id', 't.cx', 't.cy')}
-    GROUP BY t.cid
-),
-manual AS (SELECT * FROM (VALUES
-    ('ro/bucharest', 'Bucharest'), ('at/city_of_vienna', 'Wien'),
-    ('de/nw/city_of_cologne', 'Köln')) t(source, fixed_city)),
-lic AS (SELECT * FROM (VALUES
-    ('us/il/test'), ('us/ny/rivertown'), ('de/by/lakeside')) t(source))
-SELECT c.id,
-       coalesce(m.fixed_city, f.new_city, c.city) AS city,
-       c.district, c.region, c.postcode, c.license_id
-FROM oa_city c
-LEFT JOIN fill f ON f.cid = c.id
-LEFT JOIN (
-    SELECT sha256('license' || l.source) AS lid, m.fixed_city
-    FROM lic l JOIN manual m ON m.source = l.source
-) m ON m.lid = c.license_id
-"""
-
-QUERIES["oa_city_final"] = q_oa_city_final
 
 ORACLES["dedup_simhash_recursive"] = ORACLES["dedup_simhash_pairs"]

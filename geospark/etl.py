@@ -348,13 +348,14 @@ def build_struct_tables(spark: SparkSession, osm: dict,
             hot = tiling.hot_cells(struct_house, hot_cell_rows)
             if not hot:
                 break
-            hot_ress = {int(c) >> 53 for c in hot}
             # loop invariant, enforced: every round's hot set is uniform-
             # resolution (cold cells never become hot; round k's hot cells
             # are all round k-1 children) — a violation means the invariant
-            # broke upstream, and splitting would mis-encode ids silently
-            assert len(hot_ress) == 1, f"mixed-resolution hot cells: {sorted(hot_ress)}"
-            hot_res = hot_ress.pop()
+            # broke upstream, and splitting would mis-encode ids silently.
+            # ValueError, not assert: `python -O` strips asserts and would
+            # silently revert to the mis-encoding (ADVICE r4)
+            tiling._require_uniform_res(hot)
+            hot_res = next(iter({int(c) >> 53 for c in hot}))
             if hot_res >= cell_mod.MAX_RES:
                 break
             # deep enough that the heaviest cell lands under the threshold

@@ -31,12 +31,14 @@ def metaphone_cols(col):
     return _m(col)
 
 
-def prepare_wordlist(wordlist: DataFrame) -> DataFrame:
+def prepare_wordlist(wordlist: DataFrame, parts: int = 4) -> DataFrame:
     """wordlist (word, ct) + metaphone codes — the engine's equivalent of the
     dmetaphone GIN indexes, materialized once at build time."""
     # compact to a few partitions: the wordlist is dimension-sized and every
-    # predict call scans it — 32 near-empty partitions just add task churn
-    return wordlist.repartition(4).withColumn("__m", metaphone_cols(F.col("word"))) \
+    # predict call scans it — 32 near-empty partitions just add task churn.
+    # Corpus-scale callers (10^6+ words) pass a larger ``parts`` so the
+    # metaphone pandas UDF parallelizes (scripts/predict_scale.py).
+    return wordlist.repartition(parts).withColumn("__m", metaphone_cols(F.col("word"))) \
         .select("word", "ct", F.col("__m.dmet").alias("dmet"), F.col("__m.dmet_alt").alias("dmet_alt"))
 
 

@@ -69,14 +69,6 @@ def pair_similarity_udf_col(a_col, b_col):
     return _sim(a_col, b_col)
 
 
-def tokenize_names(df: DataFrame, name_col: str = "name") -> DataFrame:
-    """Distinct names -> (name, n_trgm, trigram) exploded token table."""
-    toks = df.select(name_col).distinct().withColumn("__t", trigram_tokens_col(F.col(name_col)))
-    return toks.select(
-        F.col(name_col), F.size("__t").alias("n_trgm"), F.explode("__t").alias("trigram")
-    )
-
-
 class GeocoderTables:
     def __init__(self, spark: SparkSession, struct: dict, osm_admin: DataFrame,
                  oa: dict | None = None, wordlist: DataFrame | None = None,
@@ -121,7 +113,9 @@ class GeocoderTables:
         # (regexp+transform+distinct per PAIR was profiled at ~80 µs/row —
         # 366 s of a 485 CPU-s geocode_pages job went to exactly that in the
         # hn join before this index shape).
-        self.street_name_tokens = tokenize_names(self.streets.select(F.col("name")))
+        # (r5: the unfiltered all-grams street_name_tokens index that
+        # predated the prefix index was removed — every consumer now joins
+        # through street_name_prefix, so building+caching it was pure waste)
         _name_vals = self.streets.select(F.col("name")).distinct() \
             .withColumn("name_t", trigram_tokens_col(F.col("name")))
         _name_tokens = _name_vals.select(
@@ -190,7 +184,6 @@ class GeocoderTables:
         if cache:
             self.houses = self.houses.cache()
             self.street_city = self.street_city.cache()
-            self.street_name_tokens = self.street_name_tokens.cache()
             self.street_gram_df = self.street_gram_df.cache()
             self.street_name_prefix = self.street_name_prefix.cache()
             self.hn_gram_df = self.hn_gram_df.cache()

@@ -28,6 +28,14 @@ N_BIG = 4 * N_SMALL
 # "executors": N vs 4N separate executor JVMs (local-cluster) — the faithful
 # reading of the north rule; "threads": N vs 4N threads in one JVM (local[N])
 MODE = os.environ.get("GEOSPARK_SCALING_MODE", "executors")
+# per-executor JVM heap for executors mode, SAME in both configs (differing
+# per-executor memory between the small and big config would change spill
+# behavior and unfair the comparison). Sized so the BIG config fits the
+# shared 32-core/128GB host with room for the driver and co-tenants
+# (ADVICE r4: a hardcoded 4096 MB x 32 executors would request 128 GB);
+# override with GEOSPARK_SCALING_EXEC_MB.
+EXEC_MB = int(os.environ.get("GEOSPARK_SCALING_EXEC_MB",
+                             str(max(1024, min(4096, 65536 // N_BIG)))))
 
 
 def worker(cpus: int) -> None:
@@ -56,7 +64,7 @@ def worker(cpus: int) -> None:
         # inflation from 2 to 8 threads on this host even for
         # embarrassingly parallel stages.
         spark = get_spark(
-            f"scaling-{cpus}", master=f"local-cluster[{cpus},1,4096]",
+            f"scaling-{cpus}", master=f"local-cluster[{cpus},1,{EXEC_MB}]",
             shuffle_partitions=parts,
             extra_conf={
                 # python workers on executors must resolve the repo package
@@ -83,7 +91,7 @@ def worker(cpus: int) -> None:
     for v in struct.values():
         v.count()
     tables = GeocoderTables(spark, struct, osm["osm_admin"])
-    tables.houses.count(), tables.street_city.count(), tables.street_name_tokens.count()
+    tables.houses.count(), tables.street_city.count()
     tables.street_gram_df.count(), tables.street_name_prefix.count()
     tables.hn_value_prefix.count(), tables.houses_ranked.count()
 
@@ -136,10 +144,9 @@ def main() -> None:
     ratio = N_BIG / N_SMALL
     eff_min = est[N_SMALL]["min"] / est[N_BIG]["min"] / ratio
     eff_med = est[N_SMALL]["median"] / est[N_BIG]["median"] / ratio
-    summary = {
-        "job": "geocode_pages (extract -> mine -> forward+reverse geocode join)",
-        "mode": MODE,
+    pair = {
         "sf": SF,
+        "exec_mb": EXEC_MB if MODE == "executors" else None,
         "pages": pages,
         "rows_out": rows_out,
         f"local[{N_SMALL}]": est[N_SMALL],
@@ -147,11 +154,30 @@ def main() -> None:
         "scaling_efficiency_min": round(eff_min, 3),
         "scaling_efficiency_median": round(eff_med, 3),
         "target": 0.8,
-        # the robust estimator carries the claim (ADVICE r3)
+        # BOTH estimators' verdicts disclosed (ADVICE r4: a headline that
+        # flips with the estimator choice must show both); the median-based
+        # one carries the claim (robust to a single noise burst, ADVICE r3)
+        "pass_median": eff_med >= 0.8,
+        "pass_min": eff_min >= 0.8,
         "pass": eff_med >= 0.8,
     }
     os.makedirs(BENCH_ROOT, exist_ok=True)
-    with open(os.path.join(BENCH_ROOT, "scaling.json"), "w") as fp:
+    scaling_path = os.path.join(BENCH_ROOT, "scaling.json")
+    summary = {
+        "job": "geocode_pages (extract -> mine -> forward+reverse geocode join)",
+        "mode": MODE,
+        "pairs": {},
+    }
+    if os.path.exists(scaling_path):
+        try:
+            old = json.load(open(scaling_path))
+            # accumulate measured pairs across invocations (r5: the scaling
+            # table carries one row per doubling, not just the last run)
+            summary["pairs"] = old.get("pairs", {})
+        except (json.JSONDecodeError, OSError):
+            pass
+    summary["pairs"][f"{N_SMALL}->{N_BIG}"] = pair
+    with open(scaling_path, "w") as fp:
         json.dump(summary, fp, indent=1)
     # preserve hand-written sections below the scaling block (quiet-host
     # reference line, timing methodology, workload-redefinition notes, ...)
@@ -173,7 +199,23 @@ def main() -> None:
             # made the SECOND rewrite fall back and drop hand-written
             # sections between the headline block and ## Timing methodology
             extra = old[cut:]
-    es, eb = est[N_SMALL], est[N_BIG]
+    pair_rows, verdict_lines = [], []
+    for pname, p in sorted(summary["pairs"].items(),
+                           key=lambda kv: int(kv[0].split("->")[0])):
+        lo, hi = (int(x) for x in pname.split("->"))
+        for n in (lo, hi):
+            e = p[f"local[{n}]"]
+            pair_rows.append(
+                f"| {pname} | sf={p['sf']} | local[{n}] | {e['runs']} | "
+                f"{e['min']} | {e['median']} | {e['pages_per_sec_median']} |")
+        verdict_lines.append(
+            f"* **{pname} ({hi // lo}x cores, sf={p['sf']}): median-based "
+            f"{p['scaling_efficiency_median']} "
+            f"({'PASS' if p['pass_median'] else 'FAIL'}), min-based "
+            f"{p['scaling_efficiency_min']} "
+            f"({'PASS' if p['pass_min'] else 'FAIL'})** — target ≥ 0.8, both "
+            "estimators' verdicts disclosed (ADVICE r4); the median carries "
+            "the claim (robust to single noise bursts, ADVICE r3).")
     with open(baseline_path, "w") as fp:
         fp.write(f"""# BENCH/BASELINE — measured numbers for this engine
 
@@ -181,21 +223,16 @@ def main() -> None:
 
 Evidenced on the 32-core sandbox host as the same job at two parallelism
 levels (no real cluster available): mode **{MODE}** —
-{'`local-cluster[' + str(N_SMALL) + ',1,4096]` vs `local-cluster[' + str(N_BIG) + ',1,4096]` (separate single-core executor JVMs, the faithful N-vs-4N-executors emulation)' if MODE == 'executors' else '`local[' + str(N_SMALL) + ']` vs `local[' + str(N_BIG) + ']` (threads in one JVM)'},
-identical input (sf={SF} synthetic world, {pages} web pages), measuring the
+{'`local-cluster[N,1,' + str(EXEC_MB) + ']` pairs (separate single-core executor JVMs, the faithful N-vs-4N-executors emulation; identical per-executor heap in both configs)' if MODE == 'executors' else '`local[N]` pairs (threads in one JVM)'},
+identical input per pair (sf-scaled synthetic world), measuring the
 geocode-join page pipeline after the one-off reference-table build.
+One row per measured config, one pair per doubling-pushed measurement:
 
-| config | samples (s) | min (s) | median (s) | pages/sec (median) |
-|---|---|---|---|---|
-| local[{N_SMALL}] | {es['runs']} | {es['min']} | {es['median']} | {es['pages_per_sec_median']} |
-| local[{N_BIG}] | {eb['runs']} | {eb['min']} | {eb['median']} | {eb['pages_per_sec_median']} |
+| pair | input | config | samples (s) | min (s) | median (s) | pages/sec (median) |
+|---|---|---|---|---|---|---|
+{chr(10).join(pair_rows)}
 
-**Scaling efficiency over a {int(N_BIG / N_SMALL)}x core increase:
-median-based {summary['scaling_efficiency_median']}, min-based
-{summary['scaling_efficiency_min']}** (target ≥ 0.8:
-{'PASS' if summary['pass'] else 'FAIL'} on the MEDIAN — the robust
-estimator carries the claim per ADVICE r3; equal launch counts per
-config, all samples shown).
+{chr(10).join(verdict_lines)}
 
 Methodology notes:
 
@@ -206,7 +243,7 @@ Methodology notes:
   worker, all samples pooled per config — the sandbox host shows large
   run-to-run noise, so no single sample (and no per-config best over
   unequal launch counts) carries the claim.
-* The pair N={N_SMALL}→{N_BIG} is chosen inside the host's linear regime:
+* Pairs are chosen inside the host's linear regime:
   `python scripts/host_ceiling.py` (BENCH/host_ceiling.json) measures the
   box's PURE-CPU multiprocessing scaling; at 24-32 concurrent threads the
   per-thread speed drops to ~67-82% of single-thread speed across runs
@@ -217,8 +254,8 @@ Methodology notes:
 ## Headline throughput
 
 Geocode-join throughput (pages/sec over the web-page table, the
-BASELINE.json metric): **{eb['pages_per_sec_median']} pages/sec** (median;
-{eb['pages_per_sec_min']} best-sample) at local[{N_BIG}],
+BASELINE.json metric): **{est[N_BIG]['pages_per_sec_median']} pages/sec**
+(median; {est[N_BIG]['pages_per_sec_min']} best-sample) at local[{N_BIG}],
 sf={SF}. Reference publishes no query-throughput numbers (BASELINE.md);
 its build-pipeline numbers are in the repo-root BASELINE.md.
 

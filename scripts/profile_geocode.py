@@ -42,7 +42,7 @@ def main(cpus: int, sf: float) -> None:
     for v in struct.values():
         v.count()
     tables = GeocoderTables(spark, struct, osm["osm_admin"])
-    tables.houses.count(), tables.street_city.count(), tables.street_name_tokens.count()
+    tables.houses.count(), tables.street_city.count()
     tables.street_gram_df.count(), tables.street_name_prefix.count()
     tables.hn_value_prefix.count(), tables.houses_ranked.count()
     pages = spark.read.parquet(f"{world_dir}/webpages.parquet").repartition(parts).cache()

@@ -125,6 +125,24 @@ def main():
     results.append(entry)
     print(json.dumps(entry))
 
+    # depth 3 (r5, VERDICT r4 #7): topical hot buckets re-collide at level 2
+    # (cluster members agree on most remaining bits), so depth-2 sub-buckets
+    # can re-exceed the threshold at 10^9+ docs or h>=7. max_depth=3 engages
+    # the second recursion on exactly that skew — survivor count must be
+    # IDENTICAL (exactness is depth-independent; only candidate count moves).
+    t0 = time.time()
+    survivors3 = dedup.simhash_pairs_recursive(sdf, max_hamming=5,
+                                               hot_threshold=64,
+                                               max_depth=3).count()
+    entry3 = {"max_hamming": 5,
+              "variant": "recursive(hot_threshold=64, max_depth=3)",
+              "n_docs": N_DOCS,
+              "verify_join_sec": round(time.time() - t0, 1),
+              "pairs_within_hamming": int(survivors3)}
+    assert survivors3 == survivors, (survivors, survivors3)
+    results.append(entry3)
+    print(json.dumps(entry3))
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "simhash_stress.json")
     with open(out, "w") as fp:

@@ -157,4 +157,45 @@ def test_simhash_recursive_exact_equivalence(spark):
         rec = {(r.doc_a, r.doc_b, r.hamming)
                for r in dedup.simhash_pairs_recursive(sdf, h, hot_threshold=40).collect()}
         assert rec == base and base, (h, len(base), len(rec))
+        # depth 3 (second recursion level engaged on this skewed set:
+        # same-topic docs agree on most sub-chunks, so depth-2 sub-buckets
+        # re-exceed a threshold of 10) must still be exact
+        rec3 = {(r.doc_a, r.doc_b, r.hamming)
+                for r in dedup.simhash_pairs_recursive(
+                    sdf, h, hot_threshold=10, max_depth=3).collect()}
+        assert rec3 == base, (h, len(base), len(rec3))
+    sdf.unpersist()
+
+
+def test_simhash_recursive_identical_cluster_and_h0(spark):
+    """Two guardrails on the recursive pigeonhole (r5):
+
+    1. A cluster of IDENTICAL signatures never splits — its bucket stays hot
+       at every level, provably engaging the full ``max_depth`` descent, and
+       the final level must pair-join it anyway (exactness is depth-
+       independent).
+    2. ``max_hamming=0`` makes the single level-1 band span all 63 bits,
+       leaving an EMPTY remaining field — previously an unguarded
+       StopIteration (ADVICE r4) as soon as any bucket went hot; now it must
+       degrade to the flat join."""
+    import numpy as np
+    import pandas as pd
+
+    from geospark import dedup
+
+    rng = np.random.RandomState(11)
+    dup = np.full(120, 0x1234ABCD5678EF, dtype=np.int64)
+    noise = rng.randint(0, 1 << 62, size=400, dtype=np.int64)
+    sig = np.concatenate([dup, noise]) & ((1 << 63) - 1)
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(sig), dtype=np.int64),
+                      "simhash": sig})).cache()
+    n_dup_pairs = 120 * 119 // 2
+    for h, depth in ((0, 2), (2, 3)):
+        base = {(r.doc_a, r.doc_b, r.hamming)
+                for r in dedup.simhash_pairs_from_signatures(sdf, h).collect()}
+        rec = {(r.doc_a, r.doc_b, r.hamming)
+               for r in dedup.simhash_pairs_recursive(
+                   sdf, h, hot_threshold=30, max_depth=depth).collect()}
+        assert rec == base and len(base) >= n_dup_pairs, (h, len(base), len(rec))
     sdf.unpersist()
