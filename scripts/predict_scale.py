@@ -39,10 +39,13 @@ def per_word_predict(spark, wordlist_m, queries, k=10):
     q = queries.withColumn("__m", metaphone_cols(F.col("input"))) \
         .select("query_id", "input", F.col("__m.dmet").alias("dmet"),
                 F.col("__m.dmet_alt").alias("dmet_alt"))
+    # array_distinct: words whose two metaphone codes coincide must not
+    # double their trigram rows (that would inflate `shared` past qn+wn and
+    # zero the Jaccard denominator)
     w_var = wordlist_m.select(
-        "word", F.explode(F.array("dmet", "dmet_alt")).alias("code"))
+        "word", F.explode(F.array_distinct(F.array("dmet", "dmet_alt"))).alias("code"))
     q_var = q.select(
-        "query_id", F.explode(F.array("dmet", "dmet_alt")).alias("code"))
+        "query_id", F.explode(F.array_distinct(F.array("dmet", "dmet_alt"))).alias("code"))
     wt = w_var.withColumn("__t", trigram_tokens_col(F.col("code"))).select(
         "word", F.col("code").alias("w_code"), F.size("__t").alias("wn"),
         F.explode("__t").alias("trigram"))
@@ -108,14 +111,20 @@ def main():
     flat = [s for g in groups for s in g]
     syl = F.array(*[F.lit(s) for s in flat])
     n = len(flat)
-    ids = spark.range(0, int(n_words * 1.3), 1, int(cpus))
+    ids = spark.range(0, int(n_words * 1.05), 1, int(cpus))
+
+    # base-n digit decomposition of the id — injective up to n^4 ids, so the
+    # draw count IS (approximately, minus rare cross-length string
+    # collisions) the distinct-word count
+    def digit(k):
+        return syl[((F.col("id") / (n ** k)).cast("long")) % n]
+
     words = (
         ids.select(
             F.concat(
-                syl[(F.col("id") * 7) % n],
-                syl[(F.col("id") * 13 + 5) % n],
-                F.when((F.col("id") % 3) == 0, syl[(F.col("id") * 31 + 11) % n])
-                .otherwise(F.lit(""))).alias("word"),
+                digit(0), digit(1), digit(2),
+                F.when((F.col("id") % 3) == 0, digit(3)).otherwise(F.lit("")))
+            .alias("word"),
             (F.lit(1_000_000) / ((F.col("id") % 9973) + 1)).cast("long").alias("ct"))
         .groupBy("word").agg(F.max("ct").alias("ct")))
     wl = prepare_wordlist(words, parts=int(cpus)).cache()
