@@ -97,8 +97,18 @@ def worker(cpus: int) -> None:
 
     pages = spark.read.parquet(f"{world_dir}/webpages.parquet").repartition(parts).cache()
     n_pages = pages.count()
-    # warm Python workers / codegen once on a small slice
-    mine.geocode_pages(spark, tables, pages.limit(512)).count()
+    # ONE FULL unmeasured warmup run (r5): whole-stage-codegen JIT-compiles
+    # independently in EVERY executor JVM, so the old limit(512) warmup (one
+    # task on one executor) left the rest of the fleet cold and the first
+    # measured run paid interpreted-mode CPU on most JVMs. The cost is per
+    # JVM, so it scales WITH executor count and masquerades as a scaling
+    # miss: profiled at sf4.0, the same job burned 855 executor-CPU-s on 4
+    # JVMs vs 1467 on 16 (1.72x) when run cold, and the gap collapses once
+    # warm (scripts/profile_geocode.py, BENCH/scaling_profile.json). A
+    # production-scale job (the north rule's 10^12-page regime) runs hours
+    # on warm JVMs, so steady-state throughput is the honest measurement —
+    # the warmup run is identical to the measured runs and simply discarded.
+    mine.geocode_pages(spark, tables, pages).count()
 
     samples, n_out = [], 0
     runs = int(os.environ.get("GEOSPARK_SCALING_RUNS", "3"))
@@ -243,6 +253,12 @@ Methodology notes:
   worker, all samples pooled per config — the sandbox host shows large
   run-to-run noise, so no single sample (and no per-config best over
   unequal launch counts) carries the claim.
+* STEADY-STATE protocol (r5): each worker runs the full job once unmeasured
+  before its measured runs. Whole-stage-codegen JIT-compiles per executor
+  JVM, so cold-fleet CPU scales with executor count (profiled: 855
+  executor-CPU-s on 4 JVMs vs 1467 on 16 for the same cold job, 1.72x) and
+  reads as a scaling miss that a warm production fleet would not show. Pairs
+  measured before r5 used a 1-task warmup and mix cold+warm samples.
 * Pairs are chosen inside the host's linear regime:
   `python scripts/host_ceiling.py` (BENCH/host_ceiling.json) measures the
   box's PURE-CPU multiprocessing scaling; at 24-32 concurrent threads the
