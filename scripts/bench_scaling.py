@@ -73,6 +73,16 @@ def worker(cpus: int) -> None:
                 # core per executor a 3 s locality wait per wave dwarfs the
                 # task itself and punishes the WIDE config systematically
                 "spark.locality.wait": "0s",
+                # each executor owns ONE core, but an un-pinned JVM sizes
+                # GC/JIT/Netty pools from Runtime.availableProcessors() = the
+                # host's 32 CPUs — 16 executors then run ~23 parallel GC
+                # threads EACH, and the fleet's ~370 GC threads steal cycles
+                # from every task (measured: per-core task CPU inflates 1.6x
+                # from 4 to 16 JVMs while a low-allocation scan job inflates
+                # only ~1.1x). A real cluster doesn't do this: container
+                # JVMs are cgroup-aware and size pools from their own core
+                # count. Pin to the per-executor core count.
+                "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
             })
     else:
         # make the JVM believe it has exactly `cpus` cores: GC / JIT /

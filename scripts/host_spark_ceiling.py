@@ -12,10 +12,21 @@ noise), not the engine's: a result of e.g. 0.75 here means no engine can
 measure above ~0.75 on this box for scan-heavy work, and engine numbers
 should be read against this ceiling, not against 1.0.
 
+GEOSPARK_CEILING_JOB=alloc switches to an ALLOCATION-HEAVY variant (JVM
+regexp_replace over cached strings + length/sum — still zero engine code):
+the scan job streams with almost no object churn, while the geocode engine's
+hot stages are regex mining and join probes that allocate heavily. On a
+box whose aggregate memory bandwidth saturates by 16 streams
+(BENCH/host_bandwidth.json), allocation traffic (young-gen zeroing +
+copying collection) competes for the same bandwidth, so the measurable
+ceiling for allocation-heavy work is LOWER than the scan ceiling — this
+variant measures it.
+
 Usage:
-    python scripts/host_spark_ceiling.py            # N=4 vs 16
+    python scripts/host_spark_ceiling.py            # N=4 vs 16, scan job
+    GEOSPARK_CEILING_JOB=alloc python scripts/host_spark_ceiling.py
     GEOSPARK_CEILING_N=2 python scripts/host_spark_ceiling.py
-    -> BENCH/host_spark_ceiling.json (accumulates pairs)
+    -> BENCH/host_spark_ceiling.json (accumulates pairs per job kind)
 """
 
 from __future__ import annotations
@@ -35,8 +46,11 @@ N_BIG = 4 * N_SMALL
 # 500M rows x 8B = ~4 GB cached: fits fully in memory even in the SMALL
 # config (4 executors x 4096 MB -> ~10 GB storage) — a partially
 # disk-spilled cache would measure disk, not memory bandwidth
-ROWS = int(os.environ.get("GEOSPARK_CEILING_ROWS", str(500_000_000)))
-COPIES = 32
+JOB = os.environ.get("GEOSPARK_CEILING_JOB", "scan")
+ROWS = int(os.environ.get(
+    "GEOSPARK_CEILING_ROWS",
+    str(500_000_000 if JOB == "scan" else 40_000_000)))
+COPIES = 32 if JOB == "scan" else 4
 RUNS = 3
 EXEC_MB = int(os.environ.get("GEOSPARK_SCALING_EXEC_MB",
                              str(max(1024, min(4096, 65536 // N_BIG)))))
@@ -52,22 +66,49 @@ def worker(cpus: int) -> None:
     spark = get_spark(
         f"ceiling-{cpus}", master=f"local-cluster[{cpus},1,{EXEC_MB}]",
         shuffle_partitions=parts,
-        extra_conf={"spark.locality.wait": "0s"})
+        extra_conf={
+            "spark.locality.wait": "0s",
+            # single-core executors size GC/JIT/Netty pools for their ONE
+            # core, as cgroup-aware container JVMs do on a real cluster —
+            # without this, 16 executors run ~23 parallel GC threads each
+            # (see bench_scaling.py)
+            "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
+        })
     spark.sparkContext.setLogLevel("ERROR")
-    # ~8 B/row of incompressible doubles, 64 partitions — identical layout
-    # at both parallelism levels, like the scaling harness
-    base = (spark.range(0, ROWS, 1, parts)
-            .select((F.rand(seed=7) * 2 - 1).alias("v"))
-            .cache())
+    if JOB == "scan":
+        # ~8 B/row of incompressible doubles, 64 partitions — identical
+        # layout at both parallelism levels, like the scaling harness
+        base = (spark.range(0, ROWS, 1, parts)
+                .select((F.rand(seed=7) * 2 - 1).alias("v"))
+                .cache())
+        action = None  # built below off `wide`
+    else:
+        # ~100 B/row strings; the measured action regexp-rewrites every row
+        # (new string per row per op: the allocation profile of the engine's
+        # regex-mining scan) and reduces to one long
+        base = (spark.range(0, ROWS, 1, parts)
+                .select(F.sha2(F.col("id").cast("string"), 256).alias("s"))
+                .cache())
     base.count()  # materialize the cache
     wide = base
     for _ in range(COPIES - 1):
         wide = wide.union(base)
-    wide.agg(F.sum("v")).collect()  # steady-state warmup (JIT per JVM)
+    def measured():
+        # a FRESH DataFrame per run: re-collecting one DataFrame object
+        # reuses its materialized AQE shuffle stages (measured 19.6 s ->
+        # 0.06 s on the second collect of the same object), which would
+        # time the stage cache instead of the job
+        if JOB == "scan":
+            return wide.agg(F.sum("v"))
+        return (wide.select(
+            F.length(F.regexp_replace(F.upper(F.col("s")), "[0-9]", "#"))
+            .alias("n")).agg(F.sum("n")))
+
+    measured().collect()  # steady-state warmup (JIT per executor JVM)
     samples = []
     for _ in range(RUNS):
         t0 = time.time()
-        wide.agg(F.sum("v")).collect()
+        measured().collect()
         samples.append(round(time.time() - t0, 3))
     print(json.dumps({"cpus": cpus, "seconds_runs": samples}))
 
@@ -86,7 +127,7 @@ def main() -> None:
     med = {c: statistics.median(v) for c, v in samples.items()}
     mn = {c: min(v) for c, v in samples.items()}
     pair = {
-        "rows": ROWS, "copies": COPIES, "exec_mb": EXEC_MB,
+        "job": JOB, "rows": ROWS, "copies": COPIES, "exec_mb": EXEC_MB,
         "gb_read_per_action": round(ROWS * 8 * COPIES / 1e9, 1),
         f"local[{N_SMALL}]": {"runs": samples[N_SMALL], "median": med[N_SMALL], "min": mn[N_SMALL]},
         f"local[{N_BIG}]": {"runs": samples[N_BIG], "median": med[N_BIG], "min": mn[N_BIG]},
@@ -103,10 +144,11 @@ def main() -> None:
             doc["pairs"] = json.load(open(path)).get("pairs", {})
         except Exception:
             pass
-    doc["pairs"][f"{N_SMALL}->{N_BIG}"] = pair
+    key = f"{N_SMALL}->{N_BIG}" if JOB == "scan" else f"{N_SMALL}->{N_BIG} {JOB}"
+    doc["pairs"][key] = pair
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1)
-    print(json.dumps({f"{N_SMALL}->{N_BIG}": {
+    print(json.dumps({key: {
         "efficiency_median": pair["efficiency_median"],
         "efficiency_min": pair["efficiency_min"]}}))
 

@@ -51,6 +51,10 @@ def main(cpus: int, sf: float) -> None:
             extra_conf={
                 "spark.executorEnv.PYTHONPATH": os.path.dirname(BENCH_ROOT),
                 "spark.locality.wait": "0s",
+                # match bench_scaling.py: single-core executor JVMs size
+                # GC/JIT/Netty pools for ONE core (cgroup-faithful), not
+                # the host's 32
+                "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
             })
     else:
         os.environ["GEOSPARK_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={cpus}"
