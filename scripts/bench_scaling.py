@@ -269,6 +269,14 @@ Methodology notes:
   executor-CPU-s on 4 JVMs vs 1467 on 16 for the same cold job, 1.72x) and
   reads as a scaling miss that a warm production fleet would not show. Pairs
   measured before r5 used a 1-task warmup and mix cold+warm samples.
+* CGROUP-FAITHFUL executor JVMs (r5): executors run with
+  `-XX:ActiveProcessorCount=1` (their actual core count). Un-pinned, every
+  executor sizes GC/JIT/Netty pools from the host's 32 CPUs — a 16-executor
+  fleet runs ~370 parallel GC threads whose cycle-stealing inflated
+  per-core task CPU 1.6x vs 4 executors (BENCH/scaling_profile.json); real
+  cluster containers are cgroup-aware and never do this. With the pin, a
+  zero-engine-code allocation-heavy job scales 4->16 at 0.916 median
+  (BENCH/host_spark_ceiling.json) — the box is not the limiter.
 * Pairs are chosen inside the host's linear regime:
   `python scripts/host_ceiling.py` (BENCH/host_ceiling.json) measures the
   box's PURE-CPU multiprocessing scaling; at 24-32 concurrent threads the
