@@ -180,7 +180,11 @@ def geocode_pages(spark, tables, pages: DataFrame,
               .withColumn("query_id", F.xxhash64("url", "lat", "lon")))
     rev_q = coords.select("query_id", "lat", "lon",
                           F.lit(rev_radius).alias("radius"), F.lit(rev_limit).alias("limit"))
-    rev = reverse_geocode(spark, tables, rev_q, with_fallback=False).select(
+    # rev_limit is a Python scalar baked into rev_q as lit(rev_limit), so the
+    # caller assertion behind scalar_limit holds by construction; =1 engages
+    # the map-side top-1 aggregate (no full-candidate window shuffle)
+    rev = reverse_geocode(spark, tables, rev_q, with_fallback=False,
+                          scalar_limit=rev_limit if rev_limit == 1 else None).select(
         "query_id", F.lit("coordinate").alias("kind"),
         "road", "house_number", "postcode", "city", "x", "y")
     rev = rev.join(coords.select("query_id", "url"), "query_id", "inner").drop("query_id")

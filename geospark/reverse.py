@@ -83,12 +83,22 @@ def _admin_cols(spark, tables: GeocoderTables, df: DataFrame) -> DataFrame:
 
 
 def reverse_geocode(spark, tables: GeocoderTables, queries: DataFrame,
-                    with_fallback: bool = True) -> DataFrame:
+                    with_fallback: bool = True,
+                    scalar_limit: int | None = None) -> DataFrame:
     """``queries``: (query_id, lat, lon, radius, limit) in EPSG:4326.
 
     Returns the address_and_distance shape + query_id; row order is
     recovered per query by (distance, tiebreaks) via row_number <= limit.
-    """
+
+    ``scalar_limit``: caller-asserted constant value of the ``limit``
+    column. When 1 (the mining pipeline's kNN mode), per-query top-1 is
+    computed as a map-side-combinable count()+min_by() aggregate instead of
+    a window over every candidate row — the window shuffle moves the FULL
+    candidate set (measured 4.2 GB / ~50M rows per run at bench sf4.0, the
+    largest exchange of the whole geocode_pages job) to rank rows of which
+    one per query survives. Results are identical (pytest-pinned):
+    row_number()==1 under (distance asc, id asc) is exactly min_by keyed on
+    struct(distance, id), and id is unique."""
     q = queries.select(
         "query_id",
         proj.merc_x_col(F.col("lon")).alias("qx"),
@@ -96,11 +106,12 @@ def reverse_geocode(spark, tables: GeocoderTables, queries: DataFrame,
         F.col("radius").cast("double").alias("radius"),
         F.col("limit").cast("int").alias("limit"),
     )
-    return _reverse_projected(spark, tables, q, with_fallback)
+    return _reverse_projected(spark, tables, q, with_fallback, scalar_limit)
 
 
 def reverse_geocode_epsg3857(spark, tables: GeocoderTables, queries: DataFrame,
-                             with_fallback: bool = True) -> DataFrame:
+                             with_fallback: bool = True,
+                             scalar_limit: int | None = None) -> DataFrame:
     """``queries``: (query_id, x, y, radius, limit) already in EPSG:3857 —
     the reference's Geocoder.reverse_epsg3857 entry
     (osmgeocoder/geocoder.py:199-247), for pipelines that store projected
@@ -113,17 +124,18 @@ def reverse_geocode_epsg3857(spark, tables: GeocoderTables, queries: DataFrame,
         F.col("radius").cast("double").alias("radius"),
         F.col("limit").cast("int").alias("limit"),
     )
-    return _reverse_projected(spark, tables, q, with_fallback)
+    return _reverse_projected(spark, tables, q, with_fallback, scalar_limit)
 
 
 def _reverse_projected(spark, tables: GeocoderTables, q: DataFrame,
-                       with_fallback: bool) -> DataFrame:
+                       with_fallback: bool,
+                       scalar_limit: int | None = None) -> DataFrame:
     # NULL radius -> no rows (the reference's ST_DWithin(…, NULL) is never
     # true). Filtered up front: F.least(G1_METERS, radius) in the two-round
     # kNN would otherwise silently treat NULL as a 32 m search window.
     q = q.filter(F.col("radius").isNotNull())
 
-    osm = _reverse_osm(spark, tables, q)
+    osm = _reverse_osm(spark, tables, q, scalar_limit)
     if not with_fallback or tables.oa is None:
         return osm.select(*RESULT_COLS)
 
@@ -131,7 +143,7 @@ def _reverse_projected(spark, tables: GeocoderTables, q: DataFrame,
     # (osmgeocoder/reverse.py:52-63) — left-anti on the hit set
     hits = osm.select("query_id").distinct()
     q_missed = q.join(hits, "query_id", "left_anti")
-    oa = _reverse_oa(spark, tables, q_missed)
+    oa = _reverse_oa(spark, tables, q_missed, scalar_limit)
     return osm.select(*RESULT_COLS).unionByName(oa.select(*RESULT_COLS))
 
 
@@ -178,7 +190,26 @@ G1_METERS = 32.0
 G1_RES = 21
 
 
-def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
+def _top1_per_query(cand: DataFrame) -> DataFrame:
+    """Per-query best candidate under (distance asc, id asc) as ONE hash
+    aggregate: min_by() partial-aggregates inside the candidate-generation
+    stage (map-side combine), so the exchange carries one skinny row per
+    (query, upstream partition) instead of the full candidate set — the
+    window form shuffles and sorts EVERY candidate row (the job's largest
+    exchange, 4.2 GB at bench sf4.0) to keep one. Exact for limit=1:
+    min_by on struct(distance, id) == row_number()==1 under
+    (distance asc, id asc), id unique. Round-1 satisfaction needs no
+    count() either: with limit=1 a query is satisfied iff it has ANY
+    candidate, i.e. iff its group exists."""
+    best = F.min_by(F.struct(*[F.col(c) for c in cand.columns]),
+                    F.struct(F.col("distance"), F.col("id"))).alias("__best")
+    # "__best.*" re-expands every original column (query_id included — the
+    # grouping key itself is not re-selected, so there is no duplicate)
+    return cand.groupBy("query_id").agg(best).select("__best.*")
+
+
+def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame,
+                 scalar_limit: int | None = None) -> DataFrame:
     # SKINNY candidate rows through every shuffle: only join/rank columns
     # (id, x, y, street_id, distance, ...) travel through the windows;
     # street/city display attributes are joined back AFTER the final top-k
@@ -200,34 +231,53 @@ def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
         q.withColumn("__r1", F.least(F.lit(G1_METERS), F.col("radius"))),
         houses_slim, radius_col="__r1", res=G1_RES,
     ).drop("__r1").join(F.broadcast(street_keys), "street_id", "left_semi")
-    # ONE shuffle by query_id computes both the satisfaction count and the
-    # per-query rank; kept rows are truncated to `limit` right here (their
-    # ordering within a satisfied query is final — see pre-rank argument
-    # below), so the union the tail re-ranks is tiny
-    _p = Window.partitionBy("query_id")
-    c1 = (c1.withColumn("__n1", F.count("*").over(_p))
-            .withColumn("__r1rn", F.row_number().over(
-                _p.orderBy(F.col("distance").asc(), F.col("id").asc()))))
-    c1_keep = c1.filter(
-        ((F.col("__n1") >= F.col("limit")) | (F.col("radius") <= F.lit(G1_METERS)))
-        & (F.col("__r1rn") <= F.col("limit"))
-    ).drop("__n1", "__r1rn")
 
-    # --- round 2: full radius on the res-18 grid, only for queries round 1
-    # could not complete (the two c1 consumers share one shuffle via
-    # ReuseExchange)
-    sat_ids = c1.filter(F.col("__n1") >= F.col("limit")).select("query_id").distinct()
-    q2 = q.filter(F.col("radius") > F.lit(G1_METERS)).join(sat_ids, "query_id", "left_anti")
-    c2 = _candidates(q2, houses_slim) \
-        .join(F.broadcast(street_keys), "street_id", "left_semi")
+    if scalar_limit == 1:
+        # kNN-1 fast path (the mining pipeline's mode): per-query top-1 is a
+        # map-side-combinable aggregate, not a window over every candidate
+        # row. With limit=1, EVERY query with a round-1 candidate is
+        # satisfied (count >= 1 by construction of groupBy), so round 2 runs
+        # exactly for the round-1 misses with radius > g1, and the pre-rank
+        # below is a no-op (<=1 row per query per round, rounds disjoint) —
+        # both giant query_id exchanges (4.2 GB + 1.2 GB at bench sf4.0)
+        # disappear; only per-(query, partition) partial rows shuffle.
+        c1_keep = _top1_per_query(c1)
+        sat_ids = c1_keep.select("query_id")
+        q2 = q.filter(F.col("radius") > F.lit(G1_METERS)) \
+            .join(sat_ids, "query_id", "left_anti")
+        c2 = _top1_per_query(
+            _candidates(q2, houses_slim)
+            .join(F.broadcast(street_keys), "street_id", "left_semi"))
+        cand = c1_keep.unionByName(c2)
+    else:
+        # ONE shuffle by query_id computes both the satisfaction count and
+        # the per-query rank; kept rows are truncated to `limit` right here
+        # (their ordering within a satisfied query is final — see pre-rank
+        # argument below), so the union the tail re-ranks is tiny
+        _p = Window.partitionBy("query_id")
+        c1 = (c1.withColumn("__n1", F.count("*").over(_p))
+                .withColumn("__r1rn", F.row_number().over(
+                    _p.orderBy(F.col("distance").asc(), F.col("id").asc()))))
+        c1_keep = c1.filter(
+            ((F.col("__n1") >= F.col("limit")) | (F.col("radius") <= F.lit(G1_METERS)))
+            & (F.col("__r1rn") <= F.col("limit"))
+        ).drop("__n1", "__r1rn")
 
-    cand = c1_keep.unionByName(c2)
-    # pre-rank to `limit` houses per query before the PIP join (duplication
-    # by overlapping admin polygons never promotes a lower-ranked house, so
-    # results are identical — see forward.py for the argument)
-    pre_w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
-    cand = cand.withColumn("__pre", F.row_number().over(pre_w)) \
-        .filter(F.col("__pre") <= F.col("limit")).drop("__pre")
+        # --- round 2: full radius on the res-18 grid, only for queries
+        # round 1 could not complete (the two c1 consumers share one shuffle
+        # via ReuseExchange)
+        sat_ids = c1.filter(F.col("__n1") >= F.col("limit")).select("query_id").distinct()
+        q2 = q.filter(F.col("radius") > F.lit(G1_METERS)).join(sat_ids, "query_id", "left_anti")
+        c2 = _candidates(q2, houses_slim) \
+            .join(F.broadcast(street_keys), "street_id", "left_semi")
+
+        cand = c1_keep.unionByName(c2)
+        # pre-rank to `limit` houses per query before the PIP join
+        # (duplication by overlapping admin polygons never promotes a
+        # lower-ranked house, so results are identical — see forward.py)
+        pre_w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+        cand = cand.withColumn("__pre", F.row_number().over(pre_w)) \
+            .filter(F.col("__pre") <= F.col("limit")).drop("__pre")
     cand = _admin_cols(spark, tables, cand)
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(),  # 004:88 ORDER BY ST_Distance
@@ -254,7 +304,8 @@ def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
     )
 
 
-def _reverse_oa(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
+def _reverse_oa(spark, tables: GeocoderTables, q: DataFrame,
+                scalar_limit: int | None = None) -> DataFrame:
     """point_to_address_oa (004:30-49): oa_house⋈oa_street⋈oa_city, no admin
     joins, license_id from the city row."""
     oa = tables.oa
@@ -267,10 +318,16 @@ def _reverse_oa(spark, tables: GeocoderTables, q: DataFrame) -> DataFrame:
               F.col("city_id") == F.col("__cid"), "inner").drop("__cid")
     )
     cand = _candidates(q, houses).join(F.broadcast(dim), "street_id", "inner")
-    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+    if scalar_limit == 1:
+        # same kNN-1 aggregate rewrite as _reverse_osm (no admin
+        # multiplicity here, so the aggregate IS the final top-1)
+        cand = _top1_per_query(cand)
+    else:
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+        cand = cand.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") <= F.col("limit"))
     return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("limit"))
+        cand
         .select(
             "query_id",
             F.col("name").alias("house"),

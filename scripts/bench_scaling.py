@@ -67,6 +67,15 @@ def worker(cpus: int) -> None:
             f"scaling-{cpus}", master=f"local-cluster[{cpus},1,{EXEC_MB}]",
             shuffle_partitions=parts,
             extra_conf={
+                # local-cluster[N,1,mem] sets only the WORKER's advertised
+                # capacity; executor JVMs still default to 1 GB heaps
+                # (spark.executor.memory), which capped sort memory at
+                # ~200 MB/task and spilled ~32 GB per run through the host's
+                # ONE disk — 16 concurrent spill streams punish the wide
+                # config far more than 4 (profiled, BENCH/scaling_profile
+                # .json r5b). Pass the intended heap explicitly; identical
+                # in both configs, so per-task memory stays fair.
+                "spark.executor.memory": f"{EXEC_MB}m",
                 # python workers on executors must resolve the repo package
                 "spark.executorEnv.PYTHONPATH": os.path.dirname(BENCH_ROOT),
                 # don't stall task launches on cache locality: with one

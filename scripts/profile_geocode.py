@@ -49,6 +49,10 @@ def main(cpus: int, sf: float) -> None:
             f"profile-{cpus}", master=f"local-cluster[{cpus},1,{exec_mb}]",
             shuffle_partitions=parts,
             extra_conf={
+                # match bench_scaling.py: executor JVM heap must be set
+                # explicitly (the local-cluster master string only sizes the
+                # worker's advertised capacity; executors default to 1 GB)
+                "spark.executor.memory": f"{exec_mb}m",
                 "spark.executorEnv.PYTHONPATH": os.path.dirname(BENCH_ROOT),
                 "spark.locality.wait": "0s",
                 # match bench_scaling.py: single-core executor JVMs size
@@ -110,7 +114,17 @@ def main(cpus: int, sf: float) -> None:
         run_summaries.append({
             "run": run_i, "wall_s": round(wall, 2),
             "sum_task_time_s": round(sum(s.get("executorRunTime", 0) for s in new_stages) / 1000, 1),
+            # actual on-CPU nanoseconds: if cpu_s inflates with executor
+            # count alongside run-time, the loss is memory-stall cycles
+            # (cache/bandwidth contention burns CPU); if run-time inflates
+            # but cpu_s doesn't, the tasks are WAITING (GC pauses, IO,
+            # scheduler) — the split the 4->16 decomposition needs
+            "sum_task_cpu_s": round(sum(s.get("executorCpuTime", 0) for s in new_stages) / 1e9, 1),
             "gc_s": round(sum(s.get("jvmGcTime", 0) for s in new_stages) / 1000, 1),
+            "shuffle_read_mb": round(sum(s.get("shuffleReadBytes", 0) for s in new_stages) / 1e6, 1),
+            "shuffle_write_mb": round(sum(s.get("shuffleWriteBytes", 0) for s in new_stages) / 1e6, 1),
+            "input_mb": round(sum(s.get("inputBytes", 0) for s in new_stages) / 1e6, 1),
+            "spill_mb": round(sum(s.get("memoryBytesSpilled", 0) for s in new_stages) / 1e6, 1),
             "load_at_launch": round(load0, 2),
         })
 
@@ -164,6 +178,7 @@ def main(cpus: int, sf: float) -> None:
             "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
             "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
             "input_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+            "spill_mb": round(s.get("memoryBytesSpilled", 0) / 1e6, 1),
         })
     rows.sort(key=lambda r: -(r["span_s"] or 0))
     print(json.dumps({"cpus": cpus, "sf": sf, "mode": mode,
@@ -189,29 +204,28 @@ def main(cpus: int, sf: float) -> None:
     try:
         with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/sql?details=true&length=200") as r:
             execs = json.load(r)
-        # the measured geocode job is the longest-running execution (max id
-        # picks whatever bookkeeping query ran last)
-        def _dur(e):
-            try:
-                return _ts(e["completionTime"]) - _ts(e["submissionTime"])
-            except Exception:
-                return 0.0
-        ex = max(execs, key=_dur)
-        nodes = []
-        for node in ex.get("nodes", []):
-            for m in node.get("metrics", []):
-                mm = _re.search(r"stage (\d+)", m.get("value", ""))
-                if not mm:
-                    continue
-                nodes.append({"node": node["nodeName"][:80],
-                              "metric": m["name"][:60],
-                              "value": " ".join(m["value"].split())[:140],
-                              "stage": int(mm.group(1))})
+        # attribute nodes across ALL executions, then report only those
+        # whose metric values name one of the measured run's hot stages —
+        # picking one execution by duration grabbed a 3-node bookkeeping
+        # query (the geocode job spans several executions: persist counts,
+        # the checkpoint union, per-branch subqueries)
         hot = {r2["stage"] for r2 in rows[:8]}
-        print(json.dumps({"sql_exec_id": ex["id"], "n_nodes": len(ex.get("nodes", []))}))
+        nodes = []
+        for ex in execs:
+            for node in ex.get("nodes", []):
+                for m in node.get("metrics", []):
+                    mm = _re.search(r"stage (\d+)", m.get("value", ""))
+                    if not mm or int(mm.group(1)) not in hot:
+                        continue
+                    nodes.append({"exec": ex["id"],
+                                  "node": node["nodeName"][:80],
+                                  "metric": m["name"][:60],
+                                  "value": " ".join(m["value"].split())[:140],
+                                  "stage": int(mm.group(1))})
+        print(json.dumps({"n_execs": len(execs),
+                          "n_hot_attributed": len(nodes)}))
         for nrow in nodes:
-            if nrow["stage"] in hot:
-                print(json.dumps(nrow))
+            print(json.dumps(nrow))
     except Exception as e:  # UI quirks must not void the stage table above
         print(json.dumps({"sql_metrics_error": str(e)[:200]}))
 
