@@ -35,7 +35,7 @@ MODE = os.environ.get("GEOSPARK_SCALING_MODE", "executors")
 # (ADVICE r4: a hardcoded 4096 MB x 32 executors would request 128 GB);
 # override with GEOSPARK_SCALING_EXEC_MB.
 EXEC_MB = int(os.environ.get("GEOSPARK_SCALING_EXEC_MB",
-                             str(max(1024, min(4096, 65536 // N_BIG)))))
+                             str(max(1024, min(2048, 65536 // N_BIG)))))
 
 
 def worker(cpus: int) -> None:
@@ -91,7 +91,16 @@ def worker(cpus: int) -> None:
                 # only ~1.1x). A real cluster doesn't do this: container
                 # JVMs are cgroup-aware and size pools from their own core
                 # count. Pin to the per-executor core count.
-                "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
+                # +UseG1GC: at ActiveProcessorCount=1 JVM ergonomics select
+                # SerialGC, and with a multi-GB heap a single-threaded
+                # stop-the-world over a ~1.3 GB young gen ran multi-second
+                # pauses (measured: 16-exec runs 112-188 s vs 61-64 s, jcmd
+                # confirmed UseSerialGC + 90%-full eden). G1 is the
+                # production-recommended collector; its worker pools still
+                # size from the pinned 1 CPU, so the one-core cycle budget
+                # stays honest.
+                "spark.executor.extraJavaOptions":
+                    "-XX:ActiveProcessorCount=1 -XX:+UseG1GC",
             })
     else:
         # make the JVM believe it has exactly `cpus` cores: GC / JIT /

@@ -44,7 +44,7 @@ def main(cpus: int, sf: float) -> None:
         # for the recorded 2->8 and 4->16 pairs) so profiles see the same
         # spill behavior
         exec_mb = int(os.environ.get("GEOSPARK_SCALING_EXEC_MB",
-                                     str(max(1024, min(4096, 65536 // max(16, cpus))))))
+                                     str(max(1024, min(2048, 65536 // max(16, cpus))))))
         spark = get_spark(
             f"profile-{cpus}", master=f"local-cluster[{cpus},1,{exec_mb}]",
             shuffle_partitions=parts,
@@ -57,8 +57,10 @@ def main(cpus: int, sf: float) -> None:
                 "spark.locality.wait": "0s",
                 # match bench_scaling.py: single-core executor JVMs size
                 # GC/JIT/Netty pools for ONE core (cgroup-faithful), not
-                # the host's 32
-                "spark.executor.extraJavaOptions": "-XX:ActiveProcessorCount=1",
+                # the host's 32; G1 because SerialGC ergonomics at 1 CPU
+                # run multi-second pauses on multi-GB heaps
+                "spark.executor.extraJavaOptions":
+                    "-XX:ActiveProcessorCount=1 -XX:+UseG1GC",
             })
     else:
         os.environ["GEOSPARK_JAVA_OPTS"] = f"-XX:ActiveProcessorCount={cpus}"
