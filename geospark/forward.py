@@ -153,15 +153,51 @@ def forward_geocode_unstructured(spark, tables: GeocoderTables, queries: DataFra
     return forward_geocode(spark, tables, split_address_cols(queries, expand=expand))
 
 
+def _top1_forward(cand: DataFrame, with_admin: bool) -> DataFrame:
+    """Per-query best forward candidate as ONE map-side-combinable hash
+    aggregate (the forward twin of reverse._top1_per_query): min_by()
+    partial-aggregates inside the candidate-generation stage, so the
+    query_id exchange carries one skinny row per (query, upstream partition)
+    instead of every candidate row — the window form shuffled AND sorted the
+    full candidate set (profiled at bench sf4.0: twin 19-task Sort stages
+    spilling ~12 GiB each, the largest remaining memory traffic of the
+    geocode job after the reverse kNN-1 rewrite).
+
+    Exact for limit=1: row_number()==1 under (distance asc NULLS LAST,
+    trgm_dist asc, id asc[, a4_name asc NULLS LAST, a6_name asc NULLS LAST])
+    is min_by keyed on the same tuple. NULLS LAST is encoded as
+    coalesce(distance, +inf) — planar distances are finite — and for the
+    admin-name tiebreaks as (isNull asc, coalesce(name, '') asc): false
+    sorts before true, so non-null names win, and tied nulls are disambiguated
+    only when the preceding unique-id key already ties (PIP-duplicated rows
+    of the SAME house), where the surviving columns are identical anyway."""
+    key = [F.coalesce(F.col("distance"), F.lit(float("inf"))),
+           F.col("trgm_dist"), F.col("id")]
+    if with_admin:
+        key += [F.col("a4_name").isNull(), F.coalesce(F.col("a4_name"), F.lit("")),
+                F.col("a6_name").isNull(), F.coalesce(F.col("a6_name"), F.lit(""))]
+    best = F.min_by(F.struct(*[F.col(c) for c in cand.columns]),
+                    F.struct(*key)).alias("__best")
+    return cand.groupBy("query_id").agg(best).select("__best.*")
+
+
 def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
                     batch_has_countries: bool | None = None,
                     materialize: bool = True,
-                    persist_registry: list | None = None) -> DataFrame:
+                    persist_registry: list | None = None,
+                    scalar_limit: int | None = None) -> DataFrame:
     """``batch_has_countries=False`` skips the eager driver-side country
     prefetch (R1) when the caller KNOWS the batch carries no country terms
     (e.g. mined pages build the column as a NULL literal) — the candidate
     persist then materializes lazily inside the main job instead of in a
     separate up-front collect.
+
+    ``scalar_limit=1`` (caller contract: EVERY row's ``limit`` column equals
+    1, as the mining pipeline guarantees by constructing it as a literal)
+    replaces both ranking windows — the pre-rank over the full candidate set
+    and the final post-PIP ranking — with the map-side top-1 aggregate
+    ``_top1_forward``; result-identical (pytest-pinned equivalence), but the
+    full-candidate query_id shuffle+sort disappears.
 
     ``materialize=False`` returns the LAZY plan (no eager checkpoint), so a
     composing caller can evaluate it concurrently with other work in one
@@ -345,10 +381,13 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # houses), so the final top-`limit` rows can only come from the
     # top-`limit` houses in this pre-admin ordering — provably identical
     # results while bounding the PIP/window input to limit×queries rows
-    pre_w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(), F.col("id").asc())
-    cand = cand.withColumn("__pre", F.row_number().over(pre_w)) \
-        .filter(F.col("__pre") <= F.col("limit")).drop("__pre")
+    if scalar_limit == 1:
+        cand = _top1_forward(cand, with_admin=False)
+    else:
+        pre_w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(), F.col("id").asc())
+        cand = cand.withColumn("__pre", F.row_number().over(pre_w)) \
+            .filter(F.col("__pre") <= F.col("limit")).drop("__pre")
 
     # J3: admin_level 4/6 left PIP joins (before the final ranking —
     # duplicates count toward LIMIT exactly as in the reference)
@@ -356,14 +395,20 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
 
     # O1 ranking: distance ASC NULLS LAST (§7.4.2), trigram distance, stable
     # tiebreaks for reproducibility (§7.4.3c)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(),
-        F.col("id").asc(), F.col("a4_name").asc_nulls_last(), F.col("a6_name").asc_nulls_last())
+    if scalar_limit == 1:
+        # the PIP left join may have duplicated the pre-ranked row (tiled
+        # overlapping polygons); top-1 again under the admin-extended key —
+        # exactly row_number()==1 of the window below at limit=1
+        top = _top1_forward(cand, with_admin=True)
+    else:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(),
+            F.col("id").asc(), F.col("a4_name").asc_nulls_last(), F.col("a6_name").asc_nulls_last())
+        top = cand.withColumn("__rn", F.row_number().over(w)) \
+            .filter(F.col("__rn") <= F.col("limit"))
     out = (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("limit"))
         # decorate the surviving top-k with street/city display attributes
-        .join(F.broadcast(tables.street_city.select(
+        top.join(F.broadcast(tables.street_city.select(
             "street_id", F.col("road").alias("s_road"), "city_name",
             F.col("postcode").alias("c_postcode"))), "street_id", "inner")
         .select(

@@ -165,8 +165,13 @@ def geocode_pages(spark, tables, pages: DataFrame,
     # (an inner eager checkpoint serializes the two phases and their
     # straggler tails); this function owns the candidate-cache cleanup
     fwd_persists: list = []
+    # fwd_limit is baked into fwd_q as lit(fwd_limit), so the scalar_limit
+    # caller contract holds by construction; =1 engages the map-side top-1
+    # aggregates (no full-candidate query_id window shuffle+sort — profiled
+    # as twin ~12 GiB Sort spills per run at bench sf4.0)
     fwd_raw = forward_geocode(spark, tables, fwd_q, batch_has_countries=False,
-                              materialize=False, persist_registry=fwd_persists)
+                              materialize=False, persist_registry=fwd_persists,
+                              scalar_limit=fwd_limit if fwd_limit == 1 else None)
     fwd = fwd_raw.select(
         "query_id", F.lit("address").alias("kind"),
         "road", "house_number", "postcode", "city", "x", "y")

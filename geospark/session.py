@@ -31,6 +31,18 @@ def get_spark(app: str = "geospark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime SMJ -> shuffled-hash conversion: the geocode path's big
+        # equi-joins (cand x street-dim on road, cand_hn x houses on
+        # (street_id, hn)) carry trigram-array columns, so their sort-merge
+        # Sorts were the dominant memory traffic at scale (profiled sf4.0:
+        # twin Sorts spilling ~13.8 GiB each, ~32-36 GB spill/run — the
+        # 4->16 executor scaling bottleneck after CPU inflation was fixed).
+        # AQE converts a join only when every measured build-side partition
+        # fits under this threshold, so at 10^12-row scale an oversized
+        # build side safely stays sort-merge; per-task hash maps of 256 MB
+        # fit the harness's 1-core/2 GB executors and any production
+        # executor sized to Spark's 4-8 GB/core guidance.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # conservative default; bench/scaling scripts opt into more via env

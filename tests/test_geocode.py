@@ -116,6 +116,39 @@ def test_reverse_scalar_limit1_agg_path_equivalence(spark, geo):
     assert n_win_fast < n_win_base
 
 
+def test_forward_scalar_limit1_agg_path_equivalence(spark, geo):
+    """Forward twin of the reverse test above: scalar_limit=1 replaces BOTH
+    ranking windows (the pre-rank over the full candidate set and the final
+    post-PIP ranking) with map-side min_by top-1 aggregates. The pre-rank
+    window shuffled AND sorted every candidate row by query_id (profiled at
+    bench sf4.0: twin 19-task Sort stages spilling ~12 GiB each). Exactness:
+    row_number()==1 under (distance asc NULLS LAST, trgm_dist, id[, a4/a6
+    names NULLS LAST]) == min_by on (coalesce(distance, inf), trgm_dist,
+    id[, isNull/coalesce-encoded names]); id is unique per house and ties
+    beyond it only for PIP-duplicated rows of the same house."""
+    from geospark.forward import forward_geocode
+
+    fq = (spark.read.parquet("fixtures/fwd_queries.parquet")
+          .withColumn("limit", F.lit(1)))
+    # materialize=False: the eager localCheckpoint truncates the plan to a
+    # Scan ExistingRDD, hiding the windows from the structural pin below
+    reg_base, reg_fast = [], []
+    base_df = forward_geocode(spark, geo["tables"], fq,
+                              materialize=False, persist_registry=reg_base)
+    fast_df = forward_geocode(spark, geo["tables"], fq, scalar_limit=1,
+                              materialize=False, persist_registry=reg_fast)
+    assert sorted(map(tuple, base_df.collect()), key=str) \
+        == sorted(map(tuple, fast_df.collect()), key=str)
+    # structural pin: the fast path carries NO ranking window over the
+    # candidate set — the only windows left are the tiny prefix-index
+    # row_numbers over distinct query terms (identical in both plans)
+    n_win_base = base_df._jdf.queryExecution().executedPlan().toString().count("Window")
+    n_win_fast = fast_df._jdf.queryExecution().executedPlan().toString().count("Window")
+    assert n_win_fast < n_win_base
+    for cached in reg_base + reg_fast:
+        cached.unpersist()
+
+
 def test_admin_overlap_multiplicity(spark, geo):
     """Overlapping admin_level-6 polygons duplicate result rows exactly like
     the reference's LEFT JOIN (§7.4.7) — never dedup."""
