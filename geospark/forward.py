@@ -159,9 +159,19 @@ def _top1_forward(cand: DataFrame, with_admin: bool) -> DataFrame:
     partial-aggregates inside the candidate-generation stage, so the
     query_id exchange carries one skinny row per (query, upstream partition)
     instead of every candidate row — the window form shuffled AND sorted the
-    full candidate set (profiled at bench sf4.0: twin 19-task Sort stages
-    spilling ~12 GiB each, the largest remaining memory traffic of the
-    geocode job after the reverse kNN-1 rewrite).
+    full candidate set through one giant exchange.
+
+    Physical honesty: min_by's buffer is a struct, which HashAggregateExec
+    cannot hold (probed on this Spark: only fully-primitive value+ordering
+    min_by hash-aggregates), so the PARTIAL aggregate plans as a
+    SortAggregate — it still combines map-side, but via a partition-LOCAL
+    sort of the candidate slice (spills to local disk at bench sf4.0).
+    That trade is still right: the exchange stays skinny (the window moved
+    the whole candidate set through one query_id shuffle), and a
+    partition-local sort scales horizontally — each executor sorts only
+    its own slice, nothing crosses the wire. An exact hash-aggregable
+    argmin would need either a join-back (recomputing the candidate
+    relation) or packing string payloads into primitives — both worse.
 
     Exact for limit=1: row_number()==1 under (distance asc NULLS LAST,
     trgm_dist asc, id asc[, a4_name asc NULLS LAST, a6_name asc NULLS LAST])

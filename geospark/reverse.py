@@ -196,7 +196,13 @@ def _top1_per_query(cand: DataFrame) -> DataFrame:
     stage (map-side combine), so the exchange carries one skinny row per
     (query, upstream partition) instead of the full candidate set — the
     window form shuffles and sorts EVERY candidate row (the job's largest
-    exchange, 4.2 GB at bench sf4.0) to keep one. Exact for limit=1:
+    exchange, 4.2 GB at bench sf4.0) to keep one. The partial is a
+    SortAggregate, not a HashAggregate (min_by's struct buffer is not
+    hash-aggregable — probed; only fully-primitive min_by hashes), i.e. it
+    sorts each candidate partition LOCALLY before combining. Still the
+    right trade: nothing crosses the wire, and per-partition sorts scale
+    horizontally with executors (see forward._top1_forward for the full
+    argument). Exact for limit=1:
     min_by on struct(distance, id) == row_number()==1 under
     (distance asc, id asc), id unique. Round-1 satisfaction needs no
     count() either: with limit=1 a query is satisfied iff it has ANY
