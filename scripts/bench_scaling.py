@@ -173,6 +173,28 @@ def main() -> None:
         pages, rows_out = r["pages"], r["rows_out"]
         print(line)
 
+    if os.environ.get("GEOSPARK_SCALING_POOL") == "1":
+        # pool with the SAME pair's runs from a previous invocation of the
+        # SAME engine + protocol (sf / exec_mb / pages must match — a pool
+        # across engine versions or workload sizes would be meaningless).
+        # Used when the two estimators disagree on a 6-sample run (ADVICE
+        # r4: collect enough samples that they agree before claiming a
+        # verdict) — another symmetric 6 samples doubles the pool without
+        # discarding paid-for measurements.
+        try:
+            old_pair = json.load(open(os.path.join(BENCH_ROOT, "scaling.json")))[
+                "pairs"][f"{N_SMALL}->{N_BIG}"]
+            if (old_pair.get("sf") == SF and old_pair.get("pages") == pages
+                    and old_pair.get("exec_mb") == (EXEC_MB if MODE == "executors" else None)):
+                for n in (N_SMALL, N_BIG):
+                    prev = old_pair[f"local[{n}]"]["runs"]
+                    samples[n] = prev + samples[n]
+                    print(f"pooled {len(prev)} prior local[{n}] runs")
+            else:
+                print("pool requested but prior pair protocol differs — not pooling")
+        except (OSError, KeyError, json.JSONDecodeError) as exc:
+            print(f"pool requested but prior pair unreadable ({exc}) — not pooling")
+
     est = {}
     for cpus, runs in samples.items():
         est[cpus] = {"runs": runs, "min": min(runs),
@@ -280,7 +302,11 @@ Methodology notes:
 * Interleaved, SYMMETRIC worker launches (N, 4N, N, 4N), 3 measured runs per
   worker, all samples pooled per config — the sandbox host shows large
   run-to-run noise, so no single sample (and no per-config best over
-  unequal launch counts) carries the claim.
+  unequal launch counts) carries the claim. When the two estimators
+  disagree on a 6-sample invocation (ADVICE r4: collect enough samples
+  that they agree), GEOSPARK_SCALING_POOL=1 reruns the same symmetric
+  protocol and pools with the prior invocation's runs (same engine, same
+  sf/exec_mb/pages enforced) — sample counts per config stay equal.
 * STEADY-STATE protocol (r5): each worker runs the full job once unmeasured
   before its measured runs. Whole-stage-codegen JIT-compiles per executor
   JVM, so cold-fleet CPU scales with executor count (profiled: 855
