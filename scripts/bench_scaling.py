@@ -283,7 +283,7 @@ def main() -> None:
 
 Evidenced on the 32-core sandbox host as the same job at two parallelism
 levels (no real cluster available): mode **{MODE}** —
-{'`local-cluster[N,1,' + str(EXEC_MB) + ']` pairs (separate single-core executor JVMs, the faithful N-vs-4N-executors emulation; identical per-executor heap in both configs)' if MODE == 'executors' else '`local[N]` pairs (threads in one JVM)'},
+{'`local-cluster[N,1,exec_mb]` pairs (separate single-core executor JVMs, the faithful N-vs-4N-executors emulation; per-executor heap identical in both configs of a pair — per-pair exec_mb in BENCH/scaling.json)' if MODE == 'executors' else '`local[N]` pairs (threads in one JVM)'},
 identical input per pair (sf-scaled synthetic world), measuring the
 geocode-join page pipeline after the one-off reference-table build.
 One row per measured config, one pair per doubling-pushed measurement:
