@@ -36,6 +36,13 @@ MODE = os.environ.get("GEOSPARK_SCALING_MODE", "executors")
 # override with GEOSPARK_SCALING_EXEC_MB.
 EXEC_MB = int(os.environ.get("GEOSPARK_SCALING_EXEC_MB",
                              str(max(1024, min(2048, 65536 // N_BIG)))))
+# optional row tag: record this run under "N->4N (TAG)" instead of
+# overwriting the untagged pair — used to keep a fresh quiet-host
+# re-measurement side-by-side with a pooled history row (pooling bakes
+# contaminated invocations in permanently; a tagged clean pair shows what
+# the engine does without the co-tenant tax, without discarding samples)
+TAG = os.environ.get("GEOSPARK_SCALING_TAG", "")
+PAIR_KEY = f"{N_SMALL}->{N_BIG}" + (f" ({TAG})" if TAG else "")
 
 
 def worker(cpus: int) -> None:
@@ -183,7 +190,7 @@ def main() -> None:
         # discarding paid-for measurements.
         try:
             old_pair = json.load(open(os.path.join(BENCH_ROOT, "scaling.json")))[
-                "pairs"][f"{N_SMALL}->{N_BIG}"]
+                "pairs"][PAIR_KEY]
             if (old_pair.get("sf") == SF and old_pair.get("pages") == pages
                     and old_pair.get("exec_mb") == (EXEC_MB if MODE == "executors" else None)):
                 for n in (N_SMALL, N_BIG):
@@ -236,7 +243,7 @@ def main() -> None:
             summary["pairs"] = old.get("pairs", {})
         except (json.JSONDecodeError, OSError):
             pass
-    summary["pairs"][f"{N_SMALL}->{N_BIG}"] = pair
+    summary["pairs"][PAIR_KEY] = pair
     with open(scaling_path, "w") as fp:
         json.dump(summary, fp, indent=1)
     # preserve hand-written sections below the scaling block (quiet-host
@@ -259,10 +266,16 @@ def main() -> None:
             # made the SECOND rewrite fall back and drop hand-written
             # sections between the headline block and ## Timing methodology
             extra = old[cut:]
+    import re
+
     pair_rows, verdict_lines = [], []
-    for pname, p in sorted(summary["pairs"].items(),
-                           key=lambda kv: int(kv[0].split("->")[0])):
-        lo, hi = (int(x) for x in pname.split("->"))
+
+    def _lo_hi(pname: str) -> tuple[int, int]:
+        m = re.match(r"(\d+)->(\d+)", pname)  # tagged keys: "4->16 (quiet)"
+        return int(m.group(1)), int(m.group(2))
+
+    for pname, p in sorted(summary["pairs"].items(), key=lambda kv: _lo_hi(kv[0])):
+        lo, hi = _lo_hi(pname)
         for n in (lo, hi):
             e = p[f"local[{n}]"]
             pair_rows.append(
