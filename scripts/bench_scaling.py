@@ -171,9 +171,22 @@ def main() -> None:
     samples: dict[int, list[float]] = {N_SMALL: [], N_BIG: []}
     pages = rows_out = 0
     for cpus in (N_SMALL, N_BIG, N_SMALL, N_BIG):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
-            capture_output=True, text=True, cwd=os.path.dirname(BENCH_ROOT), check=True)
+        # a worker is a 10-50 min subprocess; a transient failure (executor
+        # OOM under a co-tenant burst, shuffle-dir blip) used to abort the
+        # whole multi-hour invocation with the worker's stderr swallowed by
+        # capture_output + check=True. Surface the tail and retry once —
+        # samples already collected stay paid-for.
+        for attempt in (1, 2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
+                capture_output=True, text=True, cwd=os.path.dirname(BENCH_ROOT))
+            if out.returncode == 0:
+                break
+            tail = "\n".join(out.stderr.splitlines()[-30:])
+            print(f"worker {cpus} attempt {attempt} failed (rc={out.returncode}):\n{tail}",
+                  file=sys.stderr)
+        else:
+            raise RuntimeError(f"worker {cpus} failed twice; aborting (stderr above)")
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         r = json.loads(line)
         samples[cpus].extend(r["seconds_runs"])
