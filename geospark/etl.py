@@ -22,6 +22,8 @@ from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType, Struc
 from . import cells as cell_mod
 from . import proj, spatial
 
+_GEOHASH32_STR = "0123456789bcdefghjkmnpqrstuvwxyz"  # cells._GEOHASH32 as str
+
 HOUSE_CELL_RES = 15  # ~1223 m cells; clustering/partition locality + skew tiling
 # the reverse-geocode grid JOIN runs at a finer resolution matched to the
 # query radii (default 100-150 m): res 18 -> ~153 m cells, so a radius window
@@ -48,7 +50,21 @@ def _barrier(df: DataFrame) -> DataFrame:
 def load_osm_tables(spark: SparkSession, fixture_dir: str) -> dict:
     t = {}
     for name in ["osm_admin", "osm_postal_code", "osm_roads", "osm_house_number", "osm_buildings"]:
-        t[name] = spark.read.parquet(f"{fixture_dir}/{name}.parquet")
+        path = f"{fixture_dir}/{name}.parquet"
+        # explicit schema from the parquet footer (driver-side pyarrow read):
+        # schema inference otherwise runs one Spark job PER table — five
+        # scheduler round-trips before any real work (profiled 0.75 s + gap
+        # time of the 19.5 s etl_build; guide §1.2 step 1 serial-floor work).
+        # from_arrow_schema round-trips the footer exactly (probe-verified
+        # equal to the inferred schema).
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            schema = from_arrow_schema(pq.read_schema(path))
+            t[name] = spark.read.schema(schema).parquet(path)
+        except Exception:
+            t[name] = spark.read.parquet(path)
     return t
 
 
@@ -135,6 +151,46 @@ def geohash_col(x_col, y_col, precision: int = 12):
     return _gh(x_col, y_col)
 
 
+def geohash_col_jvm(x_col, y_col, precision: int = 12):
+    """Pure-JVM geohash column — the codegen twin of geohash_col (which
+    stays as the reference kernel; tests assert equality), removing the last
+    Arrow round-trip from the struct_house materialization stage (guide §4.1:
+    built-ins over UDFs). Bit-compat notes: every rational op (multiply by
+    the same 180/pi double literal numpy's rad2deg uses — NOT F.degrees,
+    whose Math.toDegrees computes (x*180)/pi and can differ 1 ulp — add,
+    div, mul, floor, clip) is exactly-rounded IEEE and engine-independent;
+    exp/atan are libm-dependent in principle, pinned equal in practice by
+    tests over the committed fixtures, the bench world and a 2M-point sweep
+    of the whole projected plane (zero mismatches)."""
+    import math
+
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    deg = 180.0 / math.pi  # numpy rad2deg multiplies by this exact constant
+    lon = (x_col / F.lit(proj.R)) * F.lit(deg)
+    lat = (F.lit(2.0) * F.atan(F.exp(y_col / F.lit(proj.R)))
+           - F.lit(math.pi / 2.0)) * F.lit(deg)
+    li = F.floor(F.least(F.greatest(
+        (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon)),
+        F.lit(0.0)), F.lit(float((1 << nlon) - 1)))).cast("long")
+    la = F.floor(F.least(F.greatest(
+        (lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat)),
+        F.lit(0.0)), F.lit(float((1 << nlat) - 1)))).cast("long")
+    chars = []
+    for c in range(precision):
+        acc = None
+        for j in range(5):
+            b = 5 * c + j  # bit position from the MSB; even = lon, odd = lat
+            src = li if b % 2 == 0 else la
+            width = nlon if b % 2 == 0 else nlat
+            shift = width - 1 - b // 2
+            t = F.shiftright(src, shift).bitwiseAND(F.lit(1)) * F.lit(1 << (4 - j))
+            acc = t if acc is None else acc + t
+        chars.append(F.substr(F.lit(_GEOHASH32_STR), acc + F.lit(1), F.lit(1)))
+    return F.concat(*chars)
+
+
 def build_struct_tables(spark: SparkSession, osm: dict,
                         hot_cell_rows: int | None = None) -> dict:
     """optimize/001..014 + geocoder/001 (wordlist).
@@ -156,14 +212,37 @@ def build_struct_tables(spark: SparkSession, osm: dict,
         "osm_id", "city", "postcode", "street", "house_number", "x", "y",
     )
 
+    # ONE dimension-sized collect for every polygon family this build needs
+    # (postal for 002 + 004, admin 8/6 for 005): previously three separate
+    # collect jobs plus pip_join's internal fourth — four scheduler
+    # round-trips for a few hundred rows each (r6 serial-floor work,
+    # guide §1.2/§5: the driver should do almost no data work, and what it
+    # does should batch).
+    poly_rows = (
+        postal.select(F.lit(0).alias("__lvl"), "osm_id",
+                      F.col("postcode").alias("__attr"), "rings")
+        .unionByName(
+            admin.filter(F.col("admin_level").isin([8, 6]))
+            .select(F.col("admin_level").alias("__lvl"), "osm_id",
+                    F.col("name").alias("__attr"), "rings"))
+    ).collect()
+    by_lvl: dict[int, list] = {}
+    for r in poly_rows:
+        by_lvl.setdefault(r["__lvl"], []).append(r)
+    preps = {
+        "pc": spatial.prepare_from_rows(by_lvl.get(0, []), attr_key="__attr"),
+        "a8": spatial.prepare_from_rows(by_lvl.get(8, []), attr_key="__attr"),
+        "a6": spatial.prepare_from_rows(by_lvl.get(6, []), attr_key="__attr"),
+    }
+
     # --- 002: buildings with house numbers, centroid within postal polygon -
+    # (reuses the prepared postal polygons — the old pip_join call collected
+    # the postal table a second time)
     bld = osm["osm_buildings"].filter(F.col("house_number") != "")
     bld = _centroid_cols(bld)
-    bld_in_postal = spatial.pip_join(
-        spark, bld, postal, x_col="cx", y_col="cy",
-        id_key="osm_id", attr_key="postcode", rings_key="rings",
-        how="inner", out_col="p_postcode",
-    ).select(
+    bld_in_postal = bld.withColumn(
+        "__pippc", spatial.pip_match_col(spark, preps["pc"], "cx", "cy")
+    ).withColumn("p_postcode", F.explode("__pippc")).drop("__pippc").select(
         _id(F.lit("bld"), "osm_id", "p_postcode").alias("id"),
         "osm_id",
         F.lit("").alias("city"),
@@ -181,16 +260,6 @@ def build_struct_tables(spark: SparkSession, osm: dict,
     # UPDATE order; the match values themselves depend only on x/y).
     # Reference UPDATEs take an arbitrary polygon on overlap; we take the
     # min-osm_id winner (pip attrs are ordered by polygon id — §7.4.3)
-    postal_rows = postal.select("osm_id", "postcode", "rings").collect()
-    adm_by_level: dict[int, list] = {}
-    for r in admin.filter(F.col("admin_level").isin([8, 6])) \
-            .select("admin_level", "osm_id", "name", "rings").collect():
-        adm_by_level.setdefault(r["admin_level"], []).append(r)
-    preps = {
-        "pc": spatial.prepare_from_rows(postal_rows, attr_key="postcode"),
-        "a8": spatial.prepare_from_rows(adm_by_level.get(8, [])),
-        "a6": spatial.prepare_from_rows(adm_by_level.get(6, [])),
-    }
     houses = houses.withColumn(
         "__pip", spatial.multi_pip_match_col(spark, preps, "x", "y"))
     houses = houses.withColumn(
@@ -305,7 +374,7 @@ def build_struct_tables(spark: SparkSession, osm: dict,
         "id", "osm_id", "house_number", "x", "y", "street_id",
     ).withColumn("cell_id", cell_col_jvm(F.col("x"), F.col("y"))) \
      .withColumn("ix", gx).withColumn("iy", gy) \
-     .withColumn("geohash", geohash_col(F.col("x"), F.col("y"))) \
+     .withColumn("geohash", geohash_col_jvm(F.col("x"), F.col("y"))) \
      .withColumn("hn_t", trigram_tokens_col(F.col("house_number")))
     # ^ hn_t: the house-number GIN trigram index materialized as a column
     # (X3) — the forward residual % is then array_intersect on ready arrays
@@ -368,7 +437,30 @@ def build_struct_tables(spark: SparkSession, osm: dict,
     struct_house = struct_house.repartitionByRange(n_parts, "cell_id", "id") \
         .sortWithinPartitions("cell_id", "geohash")
 
-    return dict(struct_house=struct_house, struct_streets=streets, struct_cities=cities)
+    out = dict(struct_house=struct_house, struct_streets=streets, struct_cities=cities)
+    # Eagerly cache + materialize the three tables as CONCURRENT jobs
+    # (guide §2.6: actions are only sequential because driver code calls
+    # them sequentially). The post-barrier tails are independent — the
+    # city/street geometry joins (012/013) and the struct_house range
+    # partition + sort share no lineage below their checkpoints — and every
+    # caller materializes all three anyway (sequentially: three scheduler
+    # round-trips of mostly-idle executors at bench scale). Caching here
+    # dedupes with callers' own .cache() via the CacheManager.
+    # GEOSPARK_EAGER_STRUCT=0 restores lazy output.
+    import concurrent.futures as _fut
+
+    if _os.environ.get("GEOSPARK_EAGER_STRUCT", "1") != "0":
+        out = {k: v.cache() for k, v in out.items()}
+
+        def _mat(kv):
+            k, v = kv
+            spark.sparkContext.setJobDescription(f"eager struct build: {k}")
+            v.count()
+            spark.sparkContext.setJobDescription(None)
+
+        with _fut.ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_mat, out.items()))
+    return out
 
 
 def build_wordlist(struct: dict, oa: dict | None = None) -> DataFrame:

@@ -189,6 +189,35 @@ class GeocoderTables:
             self.hn_gram_df = self.hn_gram_df.cache()
             self.hn_value_prefix = self.hn_value_prefix.cache()
             self.houses_ranked = self.houses_ranked.cache()
+            # Eager CONCURRENT materialization (guide §2.6): every consumer
+            # touches all of these, and materializing them one .count() at a
+            # time was ~10 sequential scheduler round-trips of a mostly-idle
+            # local[32] (r6 etl profile: ~3.5 s of the 19.5 s etl_build).
+            # Chains keep cache dependencies ordered (the prefix indexes
+            # join their own gram-df), independent chains overlap.
+            # GEOSPARK_EAGER_TABLES=0 restores lazy caches.
+            import os as _os
+
+            if _os.environ.get("GEOSPARK_EAGER_TABLES", "1") != "0":
+                import concurrent.futures as _fut
+
+                chains = [
+                    ("houses", (self.houses,)),
+                    ("street_city", (self.street_city,)),
+                    ("street_grams", (self.street_gram_df, self.street_name_prefix)),
+                    ("hn_grams", (self.hn_gram_df, self.hn_value_prefix)),
+                    ("houses_ranked", (self.houses_ranked,)),
+                ]
+
+                def _mat(named):
+                    name, chain = named
+                    spark.sparkContext.setJobDescription(f"eager tables build: {name}")
+                    for df in chain:
+                        df.count()
+                    spark.sparkContext.setJobDescription(None)
+
+                with _fut.ThreadPoolExecutor(max_workers=len(chains)) as pool:
+                    list(pool.map(_mat, chains))
 
     def prepared_admin(self, level: int) -> spatial.PreparedPolygons:
         return self._prepared[level]

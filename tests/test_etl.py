@@ -280,3 +280,25 @@ def test_imposm_source_filters(spark, geo):
         assert got == want, name
     all_ids = {r.osm_id for n in t for r in t[n].select("osm_id").collect()}
     assert not ({900001, 900002, 900003, 900004} & all_ids)  # rejects dropped
+
+
+def test_geohash_jvm_matches_kernel(spark):
+    """r6: the struct_house geohash column moved to the pure-JVM expression
+    (etl.geohash_col_jvm). It must stay bit-identical to the Arrow reference
+    kernel (cells.geohash_encode via etl.geohash_col) — over the committed
+    fixture houses AND a deterministic sweep of the whole projected plane
+    (the only engine-dependent ops are exp/atan; everything else is
+    exactly-rounded IEEE)."""
+    from geospark import etl, proj
+    from geospark.fixtures import FIXTURE_DIR
+
+    fx = spark.read.parquet(f"{FIXTURE_DIR}/osm_house_number.parquet").select("x", "y")
+    rnd = spark.range(0, 200_000).select(
+        ((F.rand(7) - 0.5) * F.lit(2 * proj.L * 0.999)).alias("x"),
+        ((F.rand(13) - 0.5) * F.lit(2 * proj.L * 0.999)).alias("y"))
+    for df in (fx, rnd):
+        bad = df.select(
+            (etl.geohash_col(F.col("x"), F.col("y"))
+             == etl.geohash_col_jvm(F.col("x"), F.col("y"))).alias("eq")) \
+            .filter("not eq").count()
+        assert bad == 0
