@@ -26,51 +26,10 @@ BENCH_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
 
 
-def per_word_predict(spark, wordlist_m, queries, k=10):
-    """The PRE-r4 shape, reconstructed for the comparison: trigram tokens
-    exploded per (word, code) row — the shared-gram aggregate's key space is
-    words x codes, multiplying every gram row by words-per-code."""
-    from pyspark.sql import Window, functions as F
-
-    from geospark import text
-    from geospark.predict import metaphone_cols
-    from geospark.tables import trigram_tokens_col
-
-    q = queries.withColumn("__m", metaphone_cols(F.col("input"))) \
-        .select("query_id", "input", F.col("__m.dmet").alias("dmet"),
-                F.col("__m.dmet_alt").alias("dmet_alt"))
-    # array_distinct: words whose two metaphone codes coincide must not
-    # double their trigram rows (that would inflate `shared` past qn+wn and
-    # zero the Jaccard denominator)
-    w_var = wordlist_m.select(
-        "word", F.explode(F.array_distinct(F.array("dmet", "dmet_alt"))).alias("code"))
-    q_var = q.select(
-        "query_id", F.explode(F.array_distinct(F.array("dmet", "dmet_alt"))).alias("code"))
-    wt = w_var.withColumn("__t", trigram_tokens_col(F.col("code"))).select(
-        "word", F.col("code").alias("w_code"), F.size("__t").alias("wn"),
-        F.explode("__t").alias("trigram"))
-    qt = q_var.withColumn("__t", trigram_tokens_col(F.col("code"))).select(
-        "query_id", F.col("code").alias("q_code"), F.size("__t").alias("qn"),
-        F.explode("__t").alias("trigram"))
-    shared = (
-        qt.join(wt, "trigram")
-        .groupBy("query_id", "word", "q_code", "w_code", "qn", "wn")
-        .agg(F.count("*").alias("shared"))
-        .withColumn("sim", F.col("shared") / (F.col("qn") + F.col("wn") - F.col("shared")))
-        .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
-        .select("query_id", "word").distinct())
-    cand = (
-        shared.join(F.broadcast(queries), "query_id")
-        .join(wordlist_m.select("word", "ct"), "word")
-        .withColumn("dist", F.levenshtein(
-            F.substring(F.col("word"), 1, F.length(F.col("input"))), F.col("input")))
-        .filter(F.col("dist") < 3))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("ct").desc(), F.length("word").asc(),
-        F.col("word").asc())
-    return (cand.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select("query_id", "word", "ct", "dist"))
+# r6: both shapes now SHIP in geospark.predict (the size dispatch of
+# VERDICT r5 #6); this script measures the shipping code directly.
+from geospark.predict import predict_text_per_word as per_word_predict  # noqa: E402
+from geospark.predict import predict_text_value_space  # noqa: E402
 
 
 def main():
@@ -80,7 +39,7 @@ def main():
     os.environ.setdefault("GEOSPARK_DRIVER_MEM", "32g")
     from pyspark.sql import functions as F
 
-    from geospark.predict import predict_text, prepare_wordlist
+    from geospark.predict import prepare_wordlist
     from geospark.session import get_spark
 
     spark = get_spark("predict-scale", master=f"local[{cpus}]")
@@ -150,12 +109,12 @@ def main():
         return runs
 
     # warm codegen/python workers on a slice before either variant
-    predict_text(spark, wl.limit(1000), pq).count()
-    value_rows = predict_text(spark, wl, pq).count()
+    predict_text_value_space(spark, wl.limit(1000), pq).count()
+    value_rows = predict_text_value_space(spark, wl, pq).count()
     word_rows = per_word_predict(spark, wl, pq).count()
     assert value_rows == word_rows, (value_rows, word_rows)
 
-    runs_value = timed(lambda: predict_text(spark, wl, pq).count())
+    runs_value = timed(lambda: predict_text_value_space(spark, wl, pq).count())
     runs_word = timed(lambda: per_word_predict(spark, wl, pq).count())
 
     out = {
