@@ -168,30 +168,71 @@ def main() -> None:
     # as the least-contaminated estimate of the engine's own cost.
     import statistics
 
+    # bounded wait-for-quiet before each worker launch (VERDICT r5 #1/#5:
+    # don't launch a measurement into a co-tenant burst; BENCH_r05 itself
+    # ran at launch load 5.27 and self-flagged). If the host never quiets
+    # within the bound, proceed anyway — flagged in the recorded gate log.
+    quiet_load = float(os.environ.get("GEOSPARK_SCALING_QUIET_LOAD", "4"))
+    quiet_wait_s = int(os.environ.get("GEOSPARK_SCALING_QUIET_WAIT_S", "900"))
+
+    def _wait_quiet() -> dict:
+        t0 = time.time()
+        load = os.getloadavg()[0]
+        while load > quiet_load and time.time() - t0 < quiet_wait_s:
+            time.sleep(30)
+            load = os.getloadavg()[0]
+        return {"waited_s": round(time.time() - t0, 1),
+                "load_at_launch": round(load, 2), "quiet": load <= quiet_load}
+
     samples: dict[int, list[float]] = {N_SMALL: [], N_BIG: []}
+    retries: dict[int, int] = {N_SMALL: 0, N_BIG: 0}
+    launch_gate: list[dict] = []
     pages = rows_out = 0
     for cpus in (N_SMALL, N_BIG, N_SMALL, N_BIG):
+        gate = _wait_quiet()
+        launch_gate.append({"cpus": cpus, **gate})
         # a worker is a 10-50 min subprocess; a transient failure (executor
         # OOM under a co-tenant burst, shuffle-dir blip) used to abort the
         # whole multi-hour invocation with the worker's stderr swallowed by
         # capture_output + check=True. Surface the tail and retry once —
-        # samples already collected stay paid-for.
+        # samples already collected stay paid-for. Retries are COUNTED in
+        # the pair dict (ADVICE r5: a retried pair must be distinguishable
+        # from a clean symmetric one), and a short sleep lets orphaned
+        # executor JVMs / shuffle dirs from the crashed attempt drain
+        # before the retry contends with them (ADVICE r5).
         for attempt in (1, 2):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "worker", str(cpus)],
                 capture_output=True, text=True, cwd=os.path.dirname(BENCH_ROOT))
             if out.returncode == 0:
                 break
+            retries[cpus] += 1
             tail = "\n".join(out.stderr.splitlines()[-30:])
             print(f"worker {cpus} attempt {attempt} failed (rc={out.returncode}):\n{tail}",
                   file=sys.stderr)
+            time.sleep(20)
         else:
-            raise RuntimeError(f"worker {cpus} failed twice; aborting (stderr above)")
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        r = json.loads(line)
+            # persist the paid-for samples before dying (ADVICE r5: the old
+            # raise discarded every earlier measurement of this invocation)
+            partial_path = os.path.join(BENCH_ROOT, "scaling_partial.json")
+            with open(partial_path, "w") as fp:
+                json.dump({"pair": PAIR_KEY, "sf": SF, "exec_mb": EXEC_MB,
+                           "samples": {str(k): v for k, v in samples.items()},
+                           "retries": {str(k): v for k, v in retries.items()}},
+                          fp, indent=1)
+            raise RuntimeError(
+                f"worker {cpus} failed twice; aborting (stderr above; partial "
+                f"samples saved to {partial_path})")
+        json_lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not json_lines:
+            # rc=0 but no JSON line used to die as an opaque IndexError
+            raise RuntimeError(
+                f"worker {cpus} rc=0 but printed no JSON line; stdout tail:\n"
+                + out.stdout[-800:])
+        r = json.loads(json_lines[-1])
         samples[cpus].extend(r["seconds_runs"])
         pages, rows_out = r["pages"], r["rows_out"]
-        print(line)
+        print(json_lines[-1])
 
     if os.environ.get("GEOSPARK_SCALING_POOL") == "1":
         # pool with the SAME pair's runs from a previous invocation of the
@@ -240,6 +281,10 @@ def main() -> None:
         "pass_median": eff_med >= 0.8,
         "pass_min": eff_min >= 0.8,
         "pass": eff_med >= 0.8,
+        # measurement provenance (ADVICE r5 + VERDICT r5 #5): per-config
+        # worker retry counts and the per-launch quiet-gate record
+        "retries": {str(k): v for k, v in retries.items()},
+        "launch_gate": launch_gate,
     }
     os.makedirs(BENCH_ROOT, exist_ok=True)
     scaling_path = os.path.join(BENCH_ROOT, "scaling.json")
