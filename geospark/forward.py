@@ -36,7 +36,7 @@ from pyspark.sql.types import BooleanType
 
 from . import proj, spatial, text
 from .reverse import ZERO_UUID, _admin_cols
-from .tables import GeocoderTables, sim_from_arrays, trigram_tokens_col
+from .tables import GeocoderTables, sim_from_arrays, sim_ge_arrays, trigram_tokens_col
 
 RESULT_COLS = ["query_id", "house", "road", "house_number", "postcode", "city",
                "county", "state", "x", "y", "distance", "trgm_dist", "license_id"]
@@ -75,8 +75,13 @@ def _street_candidates(tables: GeocoderTables, road_terms: DataFrame) -> DataFra
     # BOTH prefix rows carry — filter-then-distinct, so the per-pair cost is
     # one intersect, never a trigram rebuild.
     cand = tables.street_name_prefix.join(F.broadcast(q_pfx), "trigram")
-    return (cand.withColumn("sim", sim_from_arrays(F.col("q_t"), F.col("name_t")))
-            .filter(F.col("sim") >= text.TRGM_SIM_THRESHOLD)
+    # filter FIRST with the single-intersect predicate (it lands in the join
+    # condition, where rejected pairs — the vast majority — now cost one
+    # array_intersect instead of two), then compute the exact sim VALUE only
+    # for survivors (same rows, same sim: the predicate is the exact
+    # rational rearrangement of sim >= tau — tables.sim_ge_arrays)
+    return (cand.filter(sim_ge_arrays(F.col("q_t"), F.col("name_t")))
+            .withColumn("sim", sim_from_arrays(F.col("q_t"), F.col("name_t")))
             .select("q_road", F.col("name").alias("road"),
                     (1.0 - F.col("sim")).alias("trgm_dist"))
             .distinct())
@@ -180,15 +185,21 @@ def _top1_forward(cand: DataFrame, with_admin: bool) -> DataFrame:
     admin-name tiebreaks as (isNull asc, coalesce(name, '') asc): false
     sorts before true, so non-null names win, and tied nulls are disambiguated
     only when the preceding unique-id key already ties (PIP-duplicated rows
-    of the SAME house), where the surviving columns are identical anyway."""
+    of the SAME house), where the surviving columns are identical anyway.
+
+    As in reverse._top1_per_query, the grouping key is re-selected from the
+    GROUP rather than from the min_by struct, so a consumer that prunes to
+    query_id alone drops the aggregate function (and its full-candidate
+    partial sort) instead of recomputing it."""
     key = [F.coalesce(F.col("distance"), F.lit(float("inf"))),
            F.col("trgm_dist"), F.col("id")]
     if with_admin:
         key += [F.col("a4_name").isNull(), F.coalesce(F.col("a4_name"), F.lit("")),
                 F.col("a6_name").isNull(), F.coalesce(F.col("a6_name"), F.lit(""))]
-    best = F.min_by(F.struct(*[F.col(c) for c in cand.columns]),
+    payload = [c for c in cand.columns if c != "query_id"]
+    best = F.min_by(F.struct(*[F.col(c) for c in payload]),
                     F.struct(*key)).alias("__best")
-    return cand.groupBy("query_id").agg(best).select("__best.*")
+    return cand.groupBy("query_id").agg(best).select("query_id", "__best.*")
 
 
 def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
@@ -260,12 +271,14 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # dispatch precedence (geocode_osm 003:474-492): postcode > city > road —
     # expressed as per-row residual predicates (batch-level branch pruning is
     # Catalyst constant-folding when a whole batch shares the shape)
+    # sim_ge_arrays: threshold-only residuals — single array_intersect per
+    # evaluated branch (same rationale as the hn_pairs filter below)
     cand = cand.withColumn(
         "__branch_ok",
         F.when(F.col("q_postcode").isNotNull(),
-               sim_from_arrays(F.col("pc_t"), F.col("q_pc_t")) >= text.TRGM_SIM_THRESHOLD)
+               sim_ge_arrays(F.col("pc_t"), F.col("q_pc_t")))
          .when(F.col("q_city").isNotNull(),
-               sim_from_arrays(F.col("city_t"), F.col("q_city_t")) >= text.TRGM_SIM_THRESHOLD)
+               sim_ge_arrays(F.col("city_t"), F.col("q_city_t")))
          .otherwise(F.lit(True)),
     ).filter("__branch_ok").drop("__branch_ok", "city_t", "pc_t", "q_pc_t", "q_city_t",
                                  "q_postcode", "q_city")
@@ -320,10 +333,15 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # pair_similarity shape let Catalyst push the filter below the agg,
     # rebuilding trigrams per pair row (profiled: 366 of 485 CPU-s of
     # geocode_pages at sf1.0 — the scaling bottleneck).
+    # sim_ge_arrays, not sim_from_arrays >= tau: the filter lands in the
+    # join CONDITION (no codegen subexpr elimination there), and the
+    # rational rearrangement evaluates the per-pair array_intersect ONCE
+    # instead of twice — this condition ran 137.6M times at bench sf4
+    # (125.3M distinct pairs, 7.2M survivors; measured by
+    # scripts/hn_join_multiplier.py).
     hn_pairs = (
         tables.hn_value_prefix.join(F.broadcast(q_tok), "trigram")
-        .filter(sim_from_arrays(F.col("q_hn_arr"), F.col("hn_t"))
-                >= text.TRGM_SIM_THRESHOLD)
+        .filter(sim_ge_arrays(F.col("q_hn_arr"), F.col("hn_t")))
         .select("q_hn", F.col("hn").alias("house_number")).distinct()
     )
     cand_hn = (
@@ -392,7 +410,23 @@ def forward_geocode(spark, tables: GeocoderTables, queries: DataFrame,
     # top-`limit` houses in this pre-admin ordering — provably identical
     # results while bounding the PIP/window input to limit×queries rows
     if scalar_limit == 1:
+        # pack the candidate rows for the partial sort (the same two levers
+        # as reverse._pack_candidates, guide §2.3): project away columns
+        # dead after this point (country/cx/cy/radius/limit — the residual
+        # filters above already consumed them) and carry the two sha256 hex
+        # ids as BINARY(32) (unhex is exact and order-monotone for the
+        # lowercase-hex etl._id keys, so the min_by tiebreak on id picks
+        # the same winner — pytest-pinned). ~232 -> ~144 B per sorted row.
+        cand = cand.select(
+            "query_id", F.unhex(F.col("id")).alias("id"),
+            F.unhex(F.col("street_id")).alias("street_id"),
+            "house_number", "x", "y", "distance", "trgm_dist")
         cand = _top1_forward(cand, with_admin=False)
+        # restore hex ids (≤1 row per query from here on): the post-PIP
+        # re-aggregation tiebreaks on id again (hex order == binary order),
+        # and the decorate join below keys on the hex street_id.
+        cand = cand.withColumn("id", F.lower(F.hex("id"))) \
+            .withColumn("street_id", F.lower(F.hex("street_id")))
     else:
         pre_w = Window.partitionBy("query_id").orderBy(
             F.col("distance").asc_nulls_last(), F.col("trgm_dist").asc(), F.col("id").asc())

@@ -206,12 +206,55 @@ def _top1_per_query(cand: DataFrame) -> DataFrame:
     min_by on struct(distance, id) == row_number()==1 under
     (distance asc, id asc), id unique. Round-1 satisfaction needs no
     count() either: with limit=1 a query is satisfied iff it has ANY
-    candidate, i.e. iff its group exists."""
-    best = F.min_by(F.struct(*[F.col(c) for c in cand.columns]),
+    candidate, i.e. iff its group exists.
+
+    The grouping key is re-selected from the GROUP, not from the min_by
+    struct (the struct's query_id always equals it, but Catalyst cannot
+    know that): a consumer that prunes to query_id alone — the round-2
+    satisfied-set anti-join — then drops the min_by entirely and plans as
+    a functionless HashAggregate (distinct) over one 8-byte column,
+    instead of re-running the full candidate SORT a second time (probed:
+    the struct-keyed shape carried TWIN full-width partial SortAggregates
+    through the mining plan — 59 GiB local sort-spill EACH at bench sf8)."""
+    payload = [c for c in cand.columns if c != "query_id"]
+    best = F.min_by(F.struct(*[F.col(c) for c in payload]),
                     F.struct(F.col("distance"), F.col("id"))).alias("__best")
-    # "__best.*" re-expands every original column (query_id included — the
-    # grouping key itself is not re-selected, so there is no duplicate)
-    return cand.groupBy("query_id").agg(best).select("__best.*")
+    return cand.groupBy("query_id").agg(best).select("query_id", "__best.*")
+
+
+def _pack_candidates(cand: DataFrame) -> DataFrame:
+    """Skinny, binary-keyed candidate rows for the top-1 partial
+    SortAggregate (guide §2.3: move fewer bytes — here the bytes are
+    partition-locally SORTED, and at scale spilled: the sf8 root-cause was
+    superlinear sort-spill bandwidth, 59 GiB per partial). Two levers:
+
+    * PROJECT EARLY: only columns consumed downstream of the aggregate
+      survive; qx/qy/ix/iy (and radius/limit for non-literal callers) die
+      here instead of riding through the sort.
+    * BINARY KEYS: the two 64-char sha256 hex ids travel as BINARY(32).
+      unhex is exact (ids are lowercase hex by construction, etl._id) and
+      ORDER-monotone: each byte maps to two hex digits, and the hex
+      alphabet 0-9a-f is ASCII-increasing in nibble order, so unsigned
+      bytewise comparison of unhex(a)/unhex(b) at equal length orders
+      exactly like lexicographic a/b — min_by keyed on
+      struct(distance, binary id) picks the SAME winner as the hex form
+      (pytest-pinned, test_top1_binary_key_order_equivalence).
+
+    UnsafeRow arithmetic: 11 fields * 8 B + 64 + 64 + ~8 (hn) = ~232 B/row
+    before; 7 * 8 + 32 + 32 + 8 = ~136 B/row after (−41% sorted bytes)."""
+    return cand.select(
+        "query_id", F.unhex("id").alias("id"),
+        F.unhex("street_id").alias("street_id"),
+        "house_number", "x", "y", "distance")
+
+
+def _unpack_top1(df: DataFrame) -> DataFrame:
+    """Restore the hex ids after the top-1 aggregate (≤1 row per query per
+    round there — conversion cost is nil). lower(hex()) is the exact
+    inverse of unhex for lowercase-hex inputs (Spark hex() emits
+    uppercase)."""
+    return df.withColumn("id", F.lower(F.hex("id"))) \
+             .withColumn("street_id", F.lower(F.hex("street_id")))
 
 
 def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame,
@@ -247,14 +290,18 @@ def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame,
         # below is a no-op (<=1 row per query per round, rounds disjoint) —
         # both giant query_id exchanges (4.2 GB + 1.2 GB at bench sf4.0)
         # disappear; only per-(query, partition) partial rows shuffle.
-        c1_keep = _top1_per_query(c1)
+        # Candidates are packed (skinny + binary ids) through the partial
+        # sort; sat_ids prunes c1_keep to its GROUPING key, so that branch
+        # plans as a spill-free hash distinct instead of a second full
+        # candidate sort (see _top1_per_query / _pack_candidates).
+        c1_keep = _top1_per_query(_pack_candidates(c1))
         sat_ids = c1_keep.select("query_id")
         q2 = q.filter(F.col("radius") > F.lit(G1_METERS)) \
             .join(sat_ids, "query_id", "left_anti")
-        c2 = _top1_per_query(
+        c2 = _top1_per_query(_pack_candidates(
             _candidates(q2, houses_slim)
-            .join(F.broadcast(street_keys), "street_id", "left_semi"))
-        cand = c1_keep.unionByName(c2)
+            .join(F.broadcast(street_keys), "street_id", "left_semi")))
+        cand = _unpack_top1(c1_keep.unionByName(c2))
     else:
         # ONE shuffle by query_id computes both the satisfaction count and
         # the per-query rank; kept rows are truncated to `limit` right here
@@ -289,9 +336,13 @@ def _reverse_osm(spark, tables: GeocoderTables, q: DataFrame,
         F.col("distance").asc(),  # 004:88 ORDER BY ST_Distance
         F.col("id").asc(), F.col("a4_name").asc_nulls_last(), F.col("a6_name").asc_nulls_last(),
     )
+    # scalar mode: the caller asserts limit == 1 for every row (the same
+    # contract the top-1 aggregates rely on), and the packed candidates no
+    # longer carry the constant column — compare against the literal.
+    limit_expr = F.lit(1) if scalar_limit == 1 else F.col("limit")
     return (
         cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("limit"))
+        .filter(F.col("__rn") <= limit_expr)
         # decorate the surviving top-k with street/city display attributes
         .join(F.broadcast(tables.street_city.select(
             "street_id", "road", "city_name", "postcode")), "street_id", "inner")

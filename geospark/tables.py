@@ -45,6 +45,30 @@ def sim_from_arrays(ta, tb):
         .otherwise(shared.cast("double") / union)
 
 
+def sim_ge_arrays(ta, tb):
+    """Predicate: pg_trgm similarity of two PRECOMPUTED trigram arrays
+    >= text.TRGM_SIM_THRESHOLD, with array_intersect referenced exactly ONCE.
+
+    `sim_from_arrays(ta, tb) >= 0.3` expands to an expression tree holding
+    TWO identical array_intersect subtrees (numerator and union), and join
+    CONDITION codegen does not apply subexpression elimination — so the
+    intersect (an OpenHashSet build per evaluation, the dominant cost of
+    the hn value-space join: 137.6M evaluations at bench sf4, 95% rejected)
+    ran twice per probed pair. Rearranged over the rationals with
+    tau = 3/10:  shared/(na+nb-shared) >= 3/10
+             <=> 13*shared >= 3*(na+nb)   [union > 0 given na,nb > 0]
+    which references `shared` once. Exact vs the double-arithmetic form:
+    verified exhaustively for all (shared, na, nb) up to 200 (trigram
+    arrays are far smaller) — no float ratio s/u with u <= 400 can fall
+    between double(0.3) and rational 3/10 (interval width ~1.1e-17).
+    The empty-side guard mirrors sim_from_arrays' explicit 0.0 (< tau)."""
+    assert abs(text.TRGM_SIM_THRESHOLD - 0.3) < 1e-12, \
+        "rational rearrangement is derived for tau = 3/10"
+    shared = F.size(F.array_intersect(ta, tb))
+    return (F.size(ta) > 0) & (F.size(tb) > 0) \
+        & (shared * F.lit(13) >= (F.size(ta) + F.size(tb)) * F.lit(3))
+
+
 def pair_similarity_col(a_col, b_col):
     """Column: pairwise pg_trgm similarity of two string columns — the
     residual ``%`` predicates on already-pruned candidate pairs

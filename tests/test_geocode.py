@@ -149,6 +149,67 @@ def test_forward_scalar_limit1_agg_path_equivalence(spark, geo):
         cached.unpersist()
 
 
+def test_top1_binary_key_order_equivalence(spark):
+    """The packed top-1 path (r6: _pack_candidates carries the sha256 hex
+    ids as BINARY(32) through the partial SortAggregate) must pick the SAME
+    winners as the hex-string form. Ids are chosen adversarially: distances
+    tie exactly, forcing the id tiebreak, and the leading bytes straddle
+    0x7f/0x80 and 0x00/0xff — a SIGNED bytewise binary comparison would
+    invert those pairs, so this pins the required UNSIGNED ordering (which
+    is order-isomorphic to lexicographic lowercase-hex comparison)."""
+    from geospark.reverse import _pack_candidates, _top1_per_query, _unpack_top1
+
+    pairs = [("7f" + "0" * 62, "80" + "0" * 62),   # signed flip at 0x7f/0x80
+             ("ff" + "e" * 62, "00" + "e" * 62),   # signed flip at 0xff/0x00
+             ("0a" + "b" * 62, "a0" + "b" * 62)]   # digit-vs-letter nibble
+    street = "c3" * 32
+    rows = [(qid, hid, street, str(qid), 1.0 * qid, 2.0 * qid, 7.5)
+            for qid, (a, b) in enumerate(pairs, start=1) for hid in (a, b)]
+    cand = spark.createDataFrame(
+        rows, "query_id long, id string, street_id string, house_number string, "
+              "x double, y double, distance double")
+    hex_rows = sorted(map(tuple, _top1_per_query(cand)
+                          .select(*cand.columns).collect()))
+    bin_rows = sorted(map(tuple, _unpack_top1(_top1_per_query(_pack_candidates(cand)))
+                          .select(*cand.columns).collect()))
+    assert hex_rows == bin_rows
+    # and the winner is the hex-lexicographic minimum of each tied pair
+    assert [r[1] for r in hex_rows] == [min(a, b) for a, b in pairs]
+
+
+def test_sim_ge_arrays_matches_threshold_form(spark):
+    """The single-intersect threshold predicate (r6: 13*shared >= 3*(na+nb))
+    must agree with `sim_from_arrays >= 0.3` on every pair — including exact
+    boundary hits (shared/(na+nb-shared) == 3/10) and empty sides. Arrays
+    are constructed directly so the boundary combinations are guaranteed to
+    occur, not left to corpus luck."""
+    from geospark.tables import sim_from_arrays, sim_ge_arrays
+
+    def grams(prefix, n):
+        return [f"{prefix}{i:03d}" for i in range(n)]
+
+    rows = []
+    rid = 0
+    for na in range(0, 9):
+        for nb in range(0, 9):
+            for s in range(0, min(na, nb) + 1):
+                rows.append((rid, grams("s", s) + grams("a", na - s),
+                             grams("s", s) + grams("b", nb - s)))
+                rid += 1
+    # plus the exact 3/10 boundary at bigger sizes: shared=3, na+nb=13
+    rows.append((rid, grams("s", 3) + grams("a", 3), grams("s", 3) + grams("b", 4)))
+    df = spark.createDataFrame(rows, "rid long, ta array<string>, tb array<string>")
+    out = df.select(
+        "rid",
+        (sim_from_arrays(F.col("ta"), F.col("tb")) >= 0.3).alias("old"),
+        sim_ge_arrays(F.col("ta"), F.col("tb")).alias("new"),
+    ).collect()
+    assert all(bool(r.old) == bool(r.new) for r in out), \
+        [r.rid for r in out if bool(r.old) != bool(r.new)]
+    # the boundary row is a keeper in both forms
+    assert [r.new for r in out if r.rid == rid] == [True]
+
+
 def test_admin_overlap_multiplicity(spark, geo):
     """Overlapping admin_level-6 polygons duplicate result rows exactly like
     the reference's LEFT JOIN (§7.4.7) — never dedup."""
